@@ -1,0 +1,129 @@
+"""Benchmark: grad-loop throughput of the Picard core loop on TPU.
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Methodology: generate the reference benchmark harness's LCG Laplace
+mixture (benches/benchmarks.rs:8-35 semantics, via utils.datagen),
+whiten, then time the jitted core optimizer to convergence and report
+``T * n_iterations / wall_time`` — grad-loop samples/s/chip, the
+BASELINE.json headline metric. Each iteration includes the moment
+pass, L-BFGS direction, and matrix-exponential line search
+(reference hot loop: core.rs:211-391).
+
+The reference publishes no absolute numbers (BASELINE.md), so
+``vs_baseline`` is the speedup over a NumPy f64 CPU execution of the
+same per-iteration data-axis work measured in the same run — a
+stand-in for the reference's BLAS-backed CPU hot loop.
+
+Config: Picard-O + extended + tanh at N=64, T=1M (BASELINE.json
+configs 2/3 scale).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_COMPONENTS = 64
+N_SAMPLES = 1_000_000
+TOL = 1e-5  # f32-achievable; the x64 conformance tests run tol=1e-7
+MAX_ITER = 100
+REPS = 3
+
+
+def _tpu_samples_per_sec() -> tuple:
+    import jax
+    import jax.numpy as jnp
+
+    from picard_ica_tpu.models.core import CoreOptions, run_core_jit
+    from picard_ica_tpu.ops.densities import Tanh
+    from picard_ica_tpu.ops.whitening import center, whiten
+    from picard_ica_tpu.utils.datagen import generate_bench_data
+
+    x = generate_bench_data(N_COMPONENTS, N_SAMPLES, seed=42).astype(np.float32)
+    xc, _ = center(jnp.asarray(x))
+    xw = whiten(xc, N_COMPONENTS).data
+
+    opts = CoreOptions(
+        density=Tanh(), ortho=True, extended=True, has_cov=True, m=7, ls_tries=10
+    )
+    cov = jnp.eye(N_COMPONENTS, dtype=jnp.float32)
+
+    def run():
+        return run_core_jit(xw, cov, TOL, 0.01, MAX_ITER, opts)
+
+    result = run()
+    jax.block_until_ready(result)  # compile + warm
+    if not bool(result.converged):
+        print(
+            f"warning: did not reach tol={TOL} "
+            f"(gnorm={float(result.gradient_norm):.2e})",
+            file=sys.stderr,
+        )
+
+    best = 0.0
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        result = run()
+        jax.block_until_ready(result)
+        elapsed = time.perf_counter() - t0
+        iters = int(result.n_iterations)
+        best = max(best, N_SAMPLES * iters / elapsed)
+    return best, iters
+
+
+def _cpu_numpy_samples_per_sec() -> float:
+    """NumPy f64 mirror of one grad-loop iteration's data-axis work:
+    score+derivative, gradient moment, E[psi'], plus one line-search
+    try (rotate + log-lik) — the ops the reference executes per
+    iteration on CPU BLAS (core.rs:215-227, 124-127)."""
+    n, t = N_COMPONENTS, min(N_SAMPLES, 200_000)  # keep CPU timing sane
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal((n, t))
+    tm = np.eye(n) + 0.01 * rng.standard_normal((n, n))
+
+    def one_iter(y):
+        psi = np.tanh(y)
+        psi_d = 1.0 - psi * psi
+        g = psi @ y.T / t
+        pm = psi_d.mean(axis=1)
+        y_new = tm @ y
+        abs_y = np.abs(y_new)
+        ll = abs_y + np.log1p(np.exp(-2.0 * abs_y))
+        return g, pm, ll.mean(axis=1)
+
+    one_iter(y)  # warm
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        one_iter(y)
+    elapsed = time.perf_counter() - t0
+    return t * reps / elapsed
+
+
+def main():
+    tpu_sps, iters = _tpu_samples_per_sec()
+    cpu_sps = _cpu_numpy_samples_per_sec()
+    print(
+        f"tpu: {tpu_sps:.3e} samples/s/chip ({iters} iters to tol={TOL}) | "
+        f"numpy-f64 cpu: {cpu_sps:.3e} samples/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "grad_loop_samples_per_sec_per_chip",
+                "value": tpu_sps,
+                "unit": "samples/s/chip",
+                "vs_baseline": tpu_sps / cpu_sps,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Configuration for the Picard solver.
+
+Field names, defaults, and validation rules mirror the reference
+(src/config.rs:11-142); the fluent :class:`ConfigBuilder` mirrors
+config.rs:147-273. One TPU-native addition: ``dtype`` selects the
+on-device compute precision (float32 on TPU by default; float64 is
+available on CPU when ``jax_enable_x64`` is on, used for conformance
+testing against the f64 reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+from .errors import InvalidConfigError
+from .ops.densities import Density, Tanh
+
+
+@dataclasses.dataclass(frozen=True)
+class PicardConfig:
+    """Configuration parameters for the Picard algorithm.
+
+    Defaults match the reference (config.rs:64-85).
+    """
+
+    density: Density = dataclasses.field(default_factory=Tanh)
+    n_components: Optional[int] = None
+    ortho: bool = True
+    extended: Optional[bool] = None
+    whiten: bool = True
+    centering: bool = True
+    max_iter: int = 500
+    tol: float = 1e-7
+    m: int = 7
+    ls_tries: int = 10
+    lambda_min: float = 0.01
+    w_init: Optional[Any] = None
+    fastica_it: Optional[int] = None
+    jade_it: Optional[int] = None
+    random_state: Optional[int] = None
+    verbose: bool = False
+    # TPU-native extension: compute dtype (None = infer from input /
+    # platform; see solver._resolve_dtype).
+    dtype: Optional[Any] = None
+
+    @staticmethod
+    def builder() -> "ConfigBuilder":
+        return ConfigBuilder()
+
+    def effective_extended(self) -> bool:
+        """``extended`` defaults to ``ortho`` (config.rs:99-101)."""
+        return self.ortho if self.extended is None else self.extended
+
+    def validate(self) -> None:
+        """Eager validation (config.rs:104-142)."""
+        if self.max_iter <= 0:
+            raise InvalidConfigError("max_iter", "must be greater than 0")
+        if self.tol <= 0.0:
+            raise InvalidConfigError("tol", "must be positive")
+        if self.lambda_min <= 0.0:
+            raise InvalidConfigError("lambda_min", "must be positive")
+        if self.m <= 0:
+            raise InvalidConfigError("m", "L-BFGS memory size must be at least 1")
+        if self.fastica_it is not None and self.jade_it is not None:
+            raise InvalidConfigError(
+                "jade_it",
+                "cannot use both fastica_it and jade_it; choose one warm start method",
+            )
+
+    def replace(self, **kwargs) -> "PicardConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+class ConfigBuilder:
+    """Fluent builder mirroring the reference's ConfigBuilder."""
+
+    def __init__(self):
+        self._kwargs: dict = {}
+
+    def density(self, density: Density) -> "ConfigBuilder":
+        self._kwargs["density"] = density
+        return self
+
+    def n_components(self, n: int) -> "ConfigBuilder":
+        self._kwargs["n_components"] = n
+        return self
+
+    def ortho(self, ortho: bool) -> "ConfigBuilder":
+        self._kwargs["ortho"] = ortho
+        return self
+
+    def extended(self, extended: bool) -> "ConfigBuilder":
+        self._kwargs["extended"] = extended
+        return self
+
+    def whiten(self, whiten: bool) -> "ConfigBuilder":
+        self._kwargs["whiten"] = whiten
+        return self
+
+    def centering(self, centering: bool) -> "ConfigBuilder":
+        self._kwargs["centering"] = centering
+        return self
+
+    def max_iter(self, max_iter: int) -> "ConfigBuilder":
+        self._kwargs["max_iter"] = max_iter
+        return self
+
+    def tol(self, tol: float) -> "ConfigBuilder":
+        self._kwargs["tol"] = tol
+        return self
+
+    def m(self, m: int) -> "ConfigBuilder":
+        self._kwargs["m"] = m
+        return self
+
+    def ls_tries(self, ls_tries: int) -> "ConfigBuilder":
+        self._kwargs["ls_tries"] = ls_tries
+        return self
+
+    def lambda_min(self, lambda_min: float) -> "ConfigBuilder":
+        self._kwargs["lambda_min"] = lambda_min
+        return self
+
+    def w_init(self, w_init) -> "ConfigBuilder":
+        self._kwargs["w_init"] = w_init
+        return self
+
+    def fastica_it(self, iterations: int) -> "ConfigBuilder":
+        self._kwargs["fastica_it"] = iterations
+        return self
+
+    def jade_it(self, iterations: int) -> "ConfigBuilder":
+        self._kwargs["jade_it"] = iterations
+        return self
+
+    def random_state(self, seed: int) -> "ConfigBuilder":
+        self._kwargs["random_state"] = seed
+        return self
+
+    def verbose(self, verbose: bool) -> "ConfigBuilder":
+        self._kwargs["verbose"] = verbose
+        return self
+
+    def dtype(self, dtype) -> "ConfigBuilder":
+        self._kwargs["dtype"] = dtype
+        return self
+
+    def build(self) -> PicardConfig:
+        return PicardConfig(**self._kwargs)
+
+    def build_validated(self) -> PicardConfig:
+        config = self.build()
+        config.validate()
+        return config

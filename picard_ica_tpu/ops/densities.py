@@ -1,0 +1,119 @@
+"""Density (nonlinearity) plugins for ICA.
+
+TPU-first design: each density is a small frozen dataclass whose
+methods are pure ``jnp`` elementwise functions. Because instances are
+hashable and compared by value, a density can be passed as a *static*
+argument to ``jax.jit`` — dispatch happens at trace time and the
+elementwise math fuses freely into surrounding XLA/Pallas kernels.
+
+Behavioral parity with the reference (src/density.rs):
+  * Tanh — log-lik ``|y| + log(1 + exp(-2a|y|))/a`` (density.rs:50-56),
+    score ``tanh(a*y)``, derivative ``a*(1 - tanh^2)`` (density.rs:58-63).
+  * Exp  — log-lik ``-exp(-a*y^2/2)/a`` (density.rs:91-94), score
+    ``y*exp(-a*y^2/2)``, derivative ``(1-a*y^2)*exp(-a*y^2/2)``
+    (density.rs:96-103).
+  * Cube — log-lik ``y^4/4``, score ``y^3``, derivative ``3*y^2``
+    (density.rs:122-130).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Protocol, Tuple, runtime_checkable
+
+import jax.numpy as jnp
+
+
+@runtime_checkable
+class Density(Protocol):
+    """Protocol for density plugins (reference trait: density.rs:14-22)."""
+
+    def log_lik(self, y):
+        """Elementwise log-likelihood, same shape as ``y``."""
+        ...
+
+    def score_and_der(self, y) -> Tuple:
+        """Return ``(score, score_derivative)``, each shaped like ``y``."""
+        ...
+
+
+@dataclasses.dataclass(frozen=True)
+class Tanh:
+    """Hyperbolic-tangent density (default; super-Gaussian sources)."""
+
+    alpha: float = 1.0
+
+    def log_lik(self, y):
+        a = self.alpha
+        abs_y = jnp.abs(y)
+        # Numerically stable form: exp argument is always <= 0.
+        return abs_y + jnp.log1p(jnp.exp(-2.0 * a * abs_y)) / a
+
+    def score_and_der(self, y):
+        a = self.alpha
+        score = jnp.tanh(a * y)
+        return score, a * (1.0 - score * score)
+
+
+@dataclasses.dataclass(frozen=True)
+class Exp:
+    """Gaussian-kernel ("exp") density for heavy-tailed sources."""
+
+    alpha: float = 1.0
+
+    def log_lik(self, y):
+        a = self.alpha
+        return -jnp.exp(-a * y * y / 2.0) / a
+
+    def score_and_der(self, y):
+        a = self.alpha
+        y_sq = y * y
+        k = jnp.exp(-a / 2.0 * y_sq)
+        return y * k, (1.0 - a * y_sq) * k
+
+
+@dataclasses.dataclass(frozen=True)
+class Cube:
+    """Cubic density for sub-Gaussian (e.g. uniform) sources."""
+
+    def log_lik(self, y):
+        y2 = y * y
+        return y2 * y2 / 4.0
+
+    def score_and_der(self, y):
+        return y * y * y, 3.0 * y * y
+
+
+class DensityType:
+    """Constructor namespace matching the reference enum's helpers
+    (density.rs:152-175). In Python the density *instances* are the
+    dispatch mechanism, so this is sugar only."""
+
+    Tanh = Tanh
+    Exp = Exp
+    Cube = Cube
+
+    @staticmethod
+    def tanh() -> Tanh:
+        return Tanh()
+
+    @staticmethod
+    def tanh_with_alpha(alpha: float) -> Tanh:
+        return Tanh(alpha)
+
+    @staticmethod
+    def exp() -> Exp:
+        return Exp()
+
+    @staticmethod
+    def exp_with_alpha(alpha: float) -> Exp:
+        return Exp(alpha)
+
+    @staticmethod
+    def cube() -> Cube:
+        return Cube()
+
+
+def default_density() -> Tanh:
+    """Default density (reference: density.rs:146-150)."""
+    return Tanh()

@@ -1,0 +1,132 @@
+"""Small replicated N x N linear-algebra kernels.
+
+These map the reference's LAPACK-backed helpers (src/math.rs) onto XLA
+primitives. All of them operate on the small ``n_components`` square
+matrices which stay *replicated* on every chip — only the N x T data
+axis is ever sharded, so nothing here needs collectives.
+
+  * sym_decorrelation — W <- (W W^T)^{-1/2} W via eigh (math.rs:12-33)
+  * matrix_exp        — scaling-and-squaring Taylor expm (math.rs:38-74)
+  * slogdet           — signed log-determinant (math.rs:84-88)
+  * skew_symmetric    — (A - A^T)/2 (math.rs:91-93)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..errors import SingularMatrixError
+
+# Minimum eigenvalue of W W^T accepted by symmetric decorrelation
+# (math.rs:22).
+_SYM_DECORR_MIN_EIG = 1e-10
+
+
+def sym_decorrelation_with_mineig(w):
+    """Symmetric decorrelation; also returns min eigenvalue of W W^T.
+
+    Jit-safe (no host sync). Callers that run eagerly should use
+    :func:`sym_decorrelation`, which raises ``SingularMatrixError`` when
+    the min eigenvalue is below 1e-10, matching math.rs:21-24.
+    """
+    ww_t = w @ w.T
+    eigenvalues, eigenvectors = jnp.linalg.eigh(ww_t)
+    min_eig = jnp.min(eigenvalues)
+    # Guard: avoid nan from sqrt of tiny negatives under f32.
+    safe = jnp.maximum(eigenvalues, jnp.finfo(w.dtype).tiny)
+    s_inv_sqrt = 1.0 / jnp.sqrt(safe)
+    scaled = eigenvectors * s_inv_sqrt
+    return (scaled @ eigenvectors.T) @ w, min_eig
+
+
+def sym_decorrelation(w):
+    """Eager symmetric decorrelation with the reference's singularity check."""
+    result, min_eig = sym_decorrelation_with_mineig(w)
+    if float(min_eig) < _SYM_DECORR_MIN_EIG:
+        raise SingularMatrixError()
+    return result
+
+
+# Cap on the scaling exponent of expm. The reference derives
+# s = ceil(log2(max|A|)) with no cap (math.rs:48); under jit we need a
+# static bound. 2^64 overflows any f32/f64 gradient norm that could
+# plausibly reach a line search, so 64 squarings is effectively "no cap".
+_EXPM_MAX_SQUARINGS = 64
+_EXPM_MAX_TERMS = 30  # math.rs:56
+_EXPM_TERM_TOL = 1e-16  # math.rs:57
+
+
+def matrix_exp(a):
+    """Matrix exponential via scaling-and-squaring Taylor series.
+
+    Mirrors the reference algorithm (math.rs:38-74) so line-search
+    trajectories are comparable step-for-step: scale by 2^s with
+    s = max(ceil(log2(max|A|)), 0), run <=30 Taylor terms with early
+    exit at 1e-16, then square s times. Jit-safe: data-dependent term
+    counts/squarings become ``lax.while_loop``s.
+    """
+    n = a.shape[0]
+    dtype = a.dtype
+    eye = jnp.eye(n, dtype=dtype)
+
+    norm = jnp.max(jnp.abs(a))
+    is_zero = norm < 1e-15
+
+    s = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-300 if dtype == jnp.float64 else 1e-38))), 0, _EXPM_MAX_SQUARINGS)
+    scale = jnp.exp2(s).astype(dtype)
+    a_scaled = a / scale
+
+    def taylor_cond(carry):
+        k, _, term, term_norm = carry
+        return (k <= _EXPM_MAX_TERMS) & (term_norm >= _EXPM_TERM_TOL)
+
+    def taylor_body(carry):
+        k, result, term, _ = carry
+        term = (term @ a_scaled) / k.astype(dtype)
+        result = result + term
+        return k + 1, result, term, jnp.max(jnp.abs(term))
+
+    _, result, _, _ = lax.while_loop(
+        taylor_cond,
+        taylor_body,
+        (jnp.asarray(1, jnp.int32), eye, eye, jnp.asarray(jnp.inf, dtype)),
+    )
+
+    def square_cond(carry):
+        i, _ = carry
+        return i < s.astype(jnp.int32)
+
+    def square_body(carry):
+        i, r = carry
+        return i + 1, r @ r
+
+    _, result = lax.while_loop(square_cond, square_body, (jnp.asarray(0, jnp.int32), result))
+
+    return jnp.where(is_zero, eye, result)
+
+
+def slogdet(m):
+    """Signed log-determinant, ``(sign, log|det|)`` (math.rs:84-88)."""
+    return jnp.linalg.slogdet(m)
+
+
+def skew_symmetric(a):
+    """(A - A^T) / 2 (math.rs:91-93)."""
+    return (a - a.T) / 2.0
+
+
+def mixing_pinv(w):
+    """Pseudo-inverse of the (full) unmixing matrix.
+
+    Fills the role of ``PicardResult::mixing`` (result.rs:49-64). The
+    reference forms the normal equations ``(W^T W)^{-1} W^T`` with a
+    hand-rolled Gauss-Jordan inverse; that squares the condition number
+    and loses ~2 digits in TPU f32, so we use the SVD-based
+    ``jnp.linalg.pinv`` instead (same mathematical object), keeping the
+    reference's transpose fallback for degenerate inputs (exact for
+    orthogonal W).
+    """
+    p = jnp.linalg.pinv(w)
+    return jnp.where(jnp.all(jnp.isfinite(p)), p, w.T)

@@ -1,0 +1,88 @@
+"""Hot N x T moment contractions of the Picard inner loop.
+
+Per iteration the optimizer needs (reference: core.rs:211-276):
+
+  * ``G_raw  = psi(Y) Y^T / T``            — relative gradient moment
+  * ``pm_raw = mean(psi'(Y), axis=1)``     — E[psi'] per component
+  * ``H_raw  = psi'(Y) (Y*Y)^T / T``       — Hessian moment (non-ortho)
+  * ``ysq_rowmean = mean(Y*Y, axis=1)``    — extended non-ortho loss term
+
+and per line-search try (core.rs:117-127):
+
+  * ``Y' = Tm @ Y`` and ``rowsum(log_lik(Y'))``
+
+Everything here is expressed so that the T axis may be sharded across a
+device mesh: each contraction is a local partial reduced by XLA's SPMD
+partitioner (psum over the "samples" axis). The sign/+1/skew fix-ups of
+extended mode are cheap N x N algebra applied OUTSIDE these kernels
+(see models/core.py), which keeps the data-axis kernels
+sign-independent and lets one fused pass serve every mode.
+
+Two interchangeable implementations are provided:
+  * the XLA path below (jnp; always available, differentiable), and
+  * a fused Pallas path in ops/pallas_kernels.py used on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class RawMoments(NamedTuple):
+    g_raw: jnp.ndarray  # (N, N)   psi(Y) Y^T / T
+    pm_raw: jnp.ndarray  # (N,)     E[psi'(Y)] per row
+    h_raw: jnp.ndarray  # (N, N)   psi'(Y) (Y^2)^T / T (zeros when unused)
+    ysq_rowmean: jnp.ndarray  # (N,) E[Y^2] per row (zeros when unused)
+
+
+def compute_raw_moments_xla(y, density, need_h: bool, need_ysq_mean: bool) -> RawMoments:
+    """Reference XLA implementation of the fused moment pass.
+
+    ``need_h`` is static: the Hessian moment is only needed in the
+    non-orthogonal branch (core.rs:274); the orthogonal branch builds
+    its Hessian from ``pm_raw`` alone (core.rs:263-272).
+    """
+    n, t = y.shape
+    dtype = y.dtype
+    inv_t = jnp.asarray(1.0 / t, dtype)
+
+    psi, psi_d = density.score_and_der(y)
+    g_raw = (psi @ y.T) * inv_t
+    pm_raw = jnp.mean(psi_d, axis=1)
+
+    if need_h:
+        ysq = y * y
+        h_raw = (psi_d @ ysq.T) * inv_t
+    else:
+        h_raw = jnp.zeros((n, n), dtype)
+
+    if need_ysq_mean:
+        ysq_rowmean = jnp.mean(y * y, axis=1)
+    else:
+        ysq_rowmean = jnp.zeros((n,), dtype)
+
+    return RawMoments(g_raw, pm_raw, h_raw, ysq_rowmean)
+
+
+def loglik_rowmeans_xla(y, density):
+    """Per-component mean log-likelihood: ``mean(log_lik(Y), axis=1)``.
+
+    The density term of the loss (core.rs:73-77) is then
+    ``sum(signs * loglik_rowmeans)``.
+    """
+    return jnp.mean(density.log_lik(y), axis=1)
+
+
+def transform_and_loglik_xla(tm, y, density):
+    """Line-search try: ``Y' = Tm @ Y`` plus its log-lik row means.
+
+    Returns ``(y_new, loglik_rowmeans, ysq_rowmean)``. On the XLA path
+    Y' is materialized; the Pallas path can evaluate the loss without
+    writing Y' back to HBM for rejected steps.
+    """
+    y_new = tm @ y
+    ll = jnp.mean(density.log_lik(y_new), axis=1)
+    ysq = jnp.mean(y_new * y_new, axis=1)
+    return y_new, ll, ysq

@@ -1,0 +1,48 @@
+"""Result container for a fitted Picard model.
+
+Mirrors ``PicardResult`` (reference: src/result.rs:7-64). Arrays are
+JAX arrays (device-resident); scalar diagnostics are Python values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .ops.linalg import mixing_pinv
+
+
+@dataclasses.dataclass
+class PicardResult:
+    """Output of ``Picard.fit`` (result.rs:7-33)."""
+
+    # Whitening matrix K (n_components, n_features); None if whiten=False.
+    whitening: Optional[jnp.ndarray]
+    # Unmixing matrix W (n_components, n_components).
+    unmixing: jnp.ndarray
+    # Estimated sources (n_components, n_samples).
+    sources: jnp.ndarray
+    # Per-feature mean (n_features,); None if centering=False.
+    mean: Optional[jnp.ndarray]
+    n_iterations: int
+    converged: bool
+    gradient_norm: float
+    # Sub/super-Gaussian signs per component; None unless extended mode.
+    signs: Optional[jnp.ndarray]
+
+    def full_unmixing(self) -> jnp.ndarray:
+        """``W @ K`` when whitened, else ``W`` (result.rs:39-44)."""
+        if self.whitening is not None:
+            return self.unmixing @ self.whitening
+        return self.unmixing
+
+    def mixing(self) -> jnp.ndarray:
+        """Pseudo-inverse of the full unmixing matrix (result.rs:49-64).
+
+        SVD-based pinv with a transpose fallback for degenerate inputs
+        (valid for orthogonal W); see ops.linalg.mixing_pinv for why this
+        improves on the reference's normal-equations formulation.
+        """
+        return mixing_pinv(self.full_unmixing())

@@ -1,0 +1,211 @@
+"""Public Picard solver facade.
+
+Orchestrates a full fit (reference: src/solver.rs:45-189):
+validate -> RNG -> center -> whiten -> init W (random / JADE / FastICA)
+-> core loop -> compose W·W_init -> PicardResult. The orchestration is
+eager Python (cheap, one-time N x N work plus two sharded passes over
+the data); the hot optimizer loop is one jitted function.
+
+TPU-native extension: ``fit(..., mesh=...)`` shards the samples axis of
+the data over a 1-D device mesh; all T-axis contractions then reduce
+with psum via SPMD while the N x N state stays replicated.
+"""
+
+from __future__ import annotations
+
+import sys
+import warnings
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import PicardConfig
+from .errors import (
+    InvalidDimensionsError,
+    SingularMatrixError,
+)
+from .models.core import CoreOptions, run_core_jit
+from .models.fastica import ica_par_jit
+from .models.jade import jade_jit
+from .ops.densities import Tanh
+from .ops.linalg import _SYM_DECORR_MIN_EIG, sym_decorrelation_with_mineig
+from .ops.whitening import center, whiten
+from .results import PicardResult
+
+try:  # jax >= 0.4 namespace
+    from jax.sharding import NamedSharding, PartitionSpec
+except ImportError:  # pragma: no cover
+    NamedSharding = None
+    PartitionSpec = None
+
+SAMPLE_AXIS = "samples"
+
+
+def _resolve_dtype(x, config: PicardConfig):
+    if config.dtype is not None:
+        return jnp.dtype(config.dtype)
+    x_dtype = np.asarray(x).dtype if not isinstance(x, jax.Array) else x.dtype
+    if x_dtype == np.float64 and jax.config.jax_enable_x64:
+        return jnp.dtype(jnp.float64)
+    return jnp.dtype(jnp.float32)
+
+
+def _data_sharding(mesh):
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, PartitionSpec(None, SAMPLE_AXIS))
+
+
+class Picard:
+    """Static-method facade, mirroring the reference's ``Picard`` struct."""
+
+    @staticmethod
+    def fit(x, config: Optional[PicardConfig] = None, mesh=None) -> PicardResult:
+        """Fit ICA on ``x`` of shape (n_features, n_samples)."""
+        return Picard.fit_with_config(x, config or PicardConfig(), mesh=mesh)
+
+    @staticmethod
+    def fit_with_config(x, config: PicardConfig, mesh=None) -> PicardResult:
+        config.validate()
+
+        dtype = _resolve_dtype(x, config)
+        x = jnp.asarray(x, dtype)
+        if x.ndim != 2:
+            raise InvalidDimensionsError("Input must be a 2-D (n_features, n_samples) matrix")
+        n, p = x.shape
+        if n == 0 or p == 0:
+            raise InvalidDimensionsError("Input matrix cannot be empty")
+
+        sharding = _data_sharding(mesh)
+        if sharding is not None:
+            x = jax.device_put(x, sharding)
+
+        # RNG (solver.rs:57-60). jax PRNG replaces StdRng; random_state
+        # gives reproducibility within this implementation.
+        seed = config.random_state
+        if seed is None:
+            seed = int(np.random.SeedSequence().entropy % (2**63))
+        key = jax.random.PRNGKey(seed)
+
+        n_components = min(config.n_components or min(n, p), min(n, p))
+        extended = config.effective_extended()
+
+        # Problematic-configuration warning (solver.rs:69-74).
+        if not isinstance(config.density, Tanh) and extended and not config.ortho:
+            warnings.warn(
+                "Using a density other than tanh with extended=True and "
+                "ortho=False may result in incorrect estimation or numerical "
+                "overflow",
+                RuntimeWarning,
+            )
+
+        # Center (solver.rs:77-82).
+        if config.centering:
+            x1, x_mean = center(x)
+        else:
+            x1, x_mean = x, None
+
+        # Whiten (solver.rs:85-93).
+        if config.whiten:
+            whitening_result = whiten(x1, n_components)
+            x1 = whitening_result.data
+            k_matrix = whitening_result.whitening_matrix
+        else:
+            k_matrix = None
+
+        if sharding is not None:
+            x1 = jax.lax.with_sharding_constraint(x1, sharding)
+
+        actual_components = x1.shape[0]
+
+        # W_init: user-provided (shape-checked, solver.rs:98-111) or
+        # random normal + symmetric decorrelation (solver.rs:112-120).
+        if config.w_init is not None:
+            w_init = jnp.asarray(config.w_init, dtype)
+            if w_init.shape != (actual_components, actual_components):
+                raise InvalidDimensionsError(
+                    f"w_init shape {tuple(w_init.shape)} doesn't match expected "
+                    f"({actual_components}, {actual_components})"
+                )
+        else:
+            w_raw = jax.random.normal(key, (actual_components, actual_components), dtype)
+            w_init, min_eig = sym_decorrelation_with_mineig(w_raw)
+            if float(min_eig) < _SYM_DECORR_MIN_EIG:
+                raise SingularMatrixError()
+
+        # Warm starts, mutually exclusive (solver.rs:124-137).
+        if config.jade_it is not None:
+            if config.verbose:
+                print(f"Running {config.jade_it} iterations of JADE...")
+            w_init, min_eig = jade_jit(x1, config.jade_it, 1e-6, config.verbose)
+            if float(min_eig) < _SYM_DECORR_MIN_EIG:
+                raise SingularMatrixError()
+        elif config.fastica_it is not None:
+            if config.verbose:
+                print(f"Running {config.fastica_it} iterations of FastICA...")
+            w_init, min_eig = ica_par_jit(x1, config.density, config.fastica_it, w_init)
+            if float(min_eig) < _SYM_DECORR_MIN_EIG:
+                raise SingularMatrixError()
+            if config.verbose:
+                print("FastICA pre-iterations complete.")
+
+        # Pre-rotate the data (solver.rs:140).
+        x1 = w_init @ x1
+        if sharding is not None:
+            x1 = jax.lax.with_sharding_constraint(x1, sharding)
+
+        # Whitened extended runs use the identity covariance (solver.rs:143-147).
+        has_cov = extended and config.whiten
+        covariance = jnp.eye(actual_components, dtype=dtype) if has_cov else None
+
+        if config.verbose:
+            print("Running Picard...")
+
+        opts = CoreOptions(
+            density=config.density,
+            ortho=config.ortho,
+            extended=extended,
+            has_cov=has_cov,
+            m=config.m,
+            ls_tries=config.ls_tries,
+            verbose=config.verbose,
+            data_sharding=sharding,
+        )
+        core = run_core_jit(
+            x1, covariance, config.tol, config.lambda_min, config.max_iter, opts
+        )
+
+        # Compose transforms (solver.rs:169).
+        w = core.w @ w_init
+
+        converged = bool(core.converged)
+        gradient_norm = float(core.gradient_norm)
+        n_iterations = int(core.n_iterations)
+
+        if not converged and config.verbose:
+            print(
+                f"Warning: PICARD did not converge. Final gradient norm: "
+                f"{gradient_norm:.4e}, tolerance: {config.tol:.4e}",
+                file=sys.stderr,
+            )
+
+        return PicardResult(
+            whitening=k_matrix,
+            unmixing=w,
+            sources=core.y,
+            mean=x_mean,
+            n_iterations=n_iterations,
+            converged=converged,
+            gradient_norm=gradient_norm,
+            signs=core.signs if extended else None,
+        )
+
+    @staticmethod
+    def transform(x, result: PicardResult) -> jnp.ndarray:
+        """Apply a fitted model to new data (solver.rs:199-214)."""
+        x = jnp.asarray(x, result.unmixing.dtype)
+        if result.mean is not None:
+            x = x - result.mean[:, None]
+        return result.full_unmixing() @ x

@@ -1,0 +1,69 @@
+"""Density plugin self-consistency (reference: utils.rs:110-137 + density tests)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from picard_ica_tpu import Cube, DensityType, Exp, Tanh
+from picard_ica_tpu.utils import check_density
+
+
+@pytest.mark.parametrize(
+    "density", [Tanh(), Tanh(1.5), Exp(0.1), Exp(1.0), Cube()], ids=str
+)
+def test_score_is_loglik_gradient(density):
+    """Analytic score == finite-difference d/dy log_lik (utils.rs:193-208)."""
+    assert check_density(density, tol=1e-5)
+
+
+@pytest.mark.parametrize("density", [Tanh(), Exp(), Cube()], ids=str)
+def test_score_der_is_score_gradient(density):
+    """psi' == finite-difference derivative of psi."""
+    y = jnp.linspace(-2.0, 2.0, 41, dtype=jnp.float64).reshape(1, -1)
+    eps = 1e-6
+    s_plus, _ = density.score_and_der(y + eps)
+    s_minus, _ = density.score_and_der(y - eps)
+    _, der = density.score_and_der(y)
+    np.testing.assert_allclose((s_plus - s_minus) / (2 * eps), der, atol=1e-6)
+
+
+def test_shapes_preserved():
+    y = jnp.ones((3, 7))
+    for d in [Tanh(), Exp(), Cube()]:
+        s, ds = d.score_and_der(y)
+        assert s.shape == (3, 7) and ds.shape == (3, 7)
+        assert d.log_lik(y).shape == (3, 7)
+
+
+def test_tanh_loglik_stable_at_large_y():
+    """|y| + log(1+e^{-2a|y|})/a must not overflow for large |y|."""
+    y = jnp.asarray([[1e3, -1e3, 1e6]])
+    ll = Tanh().log_lik(y)
+    assert bool(jnp.all(jnp.isfinite(ll)))
+    # For large |y| the log term vanishes: log_lik -> |y|.
+    np.testing.assert_allclose(np.asarray(ll), np.abs(np.asarray(y)), rtol=1e-12)
+
+
+def test_known_values():
+    y = jnp.asarray([[0.5]])
+    s, ds = Tanh().score_and_der(y)
+    np.testing.assert_allclose(float(s[0, 0]), np.tanh(0.5), rtol=1e-12)
+    np.testing.assert_allclose(float(ds[0, 0]), 1 - np.tanh(0.5) ** 2, rtol=1e-12)
+
+    s, ds = Cube().score_and_der(y)
+    assert float(s[0, 0]) == pytest.approx(0.125)
+    assert float(ds[0, 0]) == pytest.approx(0.75)
+    assert float(Cube().log_lik(y)[0, 0]) == pytest.approx(0.5**4 / 4)
+
+
+def test_density_type_constructors():
+    assert DensityType.tanh() == Tanh()
+    assert DensityType.tanh_with_alpha(2.0) == Tanh(2.0)
+    assert DensityType.exp() == Exp()
+    assert DensityType.exp_with_alpha(0.5) == Exp(0.5)
+    assert DensityType.cube() == Cube()
+
+
+def test_densities_hashable_for_jit_static():
+    assert hash(Tanh()) == hash(Tanh(1.0))
+    assert Tanh(1.0) != Tanh(2.0)

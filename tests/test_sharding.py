@@ -1,0 +1,108 @@
+"""Multi-device SPMD correctness on a forced 8-device CPU mesh.
+
+The fake-cluster backend the reference lacks (SURVEY.md §4d): the same
+code runs on 1 device and on 8, and must agree to fp tolerance. Also
+checks the explicit shard_map+psum kernels against the implicit GSPMD
+path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from picard_ica_tpu import Picard, PicardConfig
+from picard_ica_tpu.models.core import CoreOptions, run_core_jit
+from picard_ica_tpu.ops.densities import Tanh
+from picard_ica_tpu.ops.moments import compute_raw_moments_xla
+from picard_ica_tpu.parallel import data_sharding, shard_samples
+from picard_ica_tpu.parallel.sharding import (
+    compute_raw_moments_psum,
+    loglik_rowmeans_psum,
+)
+from picard_ica_tpu.utils import amari_distance, generate_test_data
+
+
+def test_eight_devices_available(eight_device_mesh):
+    assert eight_device_mesh.devices.size == 8
+
+
+def test_explicit_psum_moments_match_dense(eight_device_mesh):
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((4, 800)))
+    dense = compute_raw_moments_xla(y, Tanh(), need_h=True, need_ysq_mean=True)
+
+    y_sharded = shard_samples(y, eight_device_mesh)
+    sharded = compute_raw_moments_psum(
+        y_sharded, Tanh(), eight_device_mesh, need_h=True, need_ysq=True
+    )
+
+    np.testing.assert_allclose(np.asarray(sharded.g_raw), np.asarray(dense.g_raw), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sharded.pm_raw), np.asarray(dense.pm_raw), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sharded.h_raw), np.asarray(dense.h_raw), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(sharded.ysq_rowmean), np.asarray(dense.ysq_rowmean), atol=1e-12
+    )
+
+
+def test_explicit_psum_loglik_matches_dense(eight_device_mesh):
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.standard_normal((3, 640)))
+    dense = jnp.mean(Tanh().log_lik(y), axis=1)
+    sharded = loglik_rowmeans_psum(shard_samples(y, eight_device_mesh), Tanh(), eight_device_mesh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense), atol=1e-12)
+
+
+def test_core_loop_single_vs_multi_device(eight_device_mesh):
+    """The jitted core loop gives tol-identical results on 1 vs 8 devices."""
+    rng = np.random.default_rng(2)
+    u = rng.uniform(0.001, 0.999, size=(3, 1600))
+    x = np.sign(rng.standard_normal((3, 1600))) * (-np.log(u))
+    a = rng.standard_normal((3, 3))
+    from picard_ica_tpu.ops.whitening import center, whiten
+
+    centered, _ = center(jnp.asarray(a @ x))
+    xw = whiten(centered, 3).data
+
+    opts_single = CoreOptions(
+        density=Tanh(), ortho=True, extended=True, has_cov=True, m=7, ls_tries=10
+    )
+    res_single = run_core_jit(xw, jnp.eye(3), 1e-7, 0.01, 200, opts_single)
+
+    sharding = data_sharding(eight_device_mesh)
+    xw_sharded = jax.device_put(xw, sharding)
+    opts_multi = CoreOptions(
+        density=Tanh(), ortho=True, extended=True, has_cov=True, m=7,
+        ls_tries=10, data_sharding=sharding,
+    )
+    res_multi = run_core_jit(xw_sharded, jnp.eye(3), 1e-7, 0.01, 200, opts_multi)
+
+    assert bool(res_single.converged) == bool(res_multi.converged)
+    assert int(res_single.n_iterations) == int(res_multi.n_iterations)
+    np.testing.assert_allclose(
+        np.asarray(res_single.w), np.asarray(res_multi.w), atol=1e-8
+    )
+
+
+def test_full_fit_single_vs_multi_device(eight_device_mesh):
+    """End-to-end fit with mesh= gives the same separation quality."""
+    _, a, x = generate_test_data(4, 4000, 42)
+
+    r_single = Picard.fit(x, PicardConfig(random_state=0))
+    r_multi = Picard.fit(x, PicardConfig(random_state=0), mesh=eight_device_mesh)
+
+    assert r_multi.converged
+    am_s = amari_distance(np.asarray(r_single.full_unmixing()), a)
+    am_m = amari_distance(np.asarray(r_multi.full_unmixing()), a)
+    assert abs(am_s - am_m) < 1e-6
+    np.testing.assert_allclose(
+        np.asarray(r_single.unmixing), np.asarray(r_multi.unmixing), atol=1e-6
+    )
+
+
+def test_sources_stay_sharded(eight_device_mesh):
+    """The returned sources keep the (None, samples) layout — no
+    gather-to-host on the hot output."""
+    _, _, x = generate_test_data(3, 1600, 7)
+    r = Picard.fit(x, PicardConfig(random_state=0), mesh=eight_device_mesh)
+    sharding = r.sources.sharding
+    assert not sharding.is_fully_replicated

@@ -1,0 +1,79 @@
+"""Centering + PCA whitening (reference: whitening.rs tests + conventions)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from picard_ica_tpu.errors import InvalidDimensionsError, SingularMatrixError
+from picard_ica_tpu.ops.whitening import center, whiten
+
+
+def test_center_zero_mean():
+    """(whitening.rs:123-135)."""
+    x = jnp.asarray([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    centered, mean = center(x)
+    np.testing.assert_allclose(np.asarray(mean), [2.0, 5.0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(centered).mean(axis=1), 0.0, atol=1e-12)
+
+
+def test_whiten_shapes():
+    """(whitening.rs:138-150)."""
+    x = jnp.asarray([[1.0, 2.0, 3.0, 4.0], [2.0, 4.0, 6.0, 8.1], [1.0, 3.0, 2.0, 4.0]])
+    centered, _ = center(x)
+    result = whiten(centered, 2)
+    assert result.data.shape == (2, 4)
+    assert result.whitening_matrix.shape == (2, 3)
+
+
+def test_whitened_data_has_identity_covariance():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((5, 4000)) * np.array([3.0, 1.0, 0.5, 2.0, 1.5])[:, None]
+    x = jnp.asarray(np.linalg.qr(rng.standard_normal((5, 5)))[0] @ np.asarray(x))
+    centered, _ = center(x)
+    result = whiten(centered, 5)
+    cov = np.asarray(result.data) @ np.asarray(result.data).T / 4000
+    np.testing.assert_allclose(cov, np.eye(5), atol=1e-8)
+
+
+def test_whitening_matches_svd_formulation():
+    """Eigh-of-covariance K == the reference's SVD K (whitening.rs:81-107)."""
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((4, 300))
+    x = x - x.mean(axis=1, keepdims=True)
+
+    result = whiten(jnp.asarray(x), 3)
+
+    # Direct NumPy mirror of the reference's SVD construction.
+    u, s, _ = np.linalg.svd(x, full_matrices=False)
+    k_ref = (u[:, :3] / s[:3]).T * np.sqrt(300)
+    for i in range(3):
+        j = np.argmax(np.abs(k_ref[i]))
+        if k_ref[i, j] < 0:
+            k_ref[i] = -k_ref[i]
+
+    np.testing.assert_allclose(np.asarray(result.whitening_matrix), k_ref, atol=1e-8)
+
+
+def test_whiten_sign_convention():
+    """Largest-|entry| of each row of K is positive (whitening.rs:92-107)."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((6, 500))
+    x -= x.mean(axis=1, keepdims=True)
+    k = np.asarray(whiten(jnp.asarray(x), 6).whitening_matrix)
+    for row in k:
+        assert row[np.argmax(np.abs(row))] > 0
+
+
+def test_whiten_rejects_too_many_components():
+    x = jnp.zeros((3, 10))
+    with pytest.raises(InvalidDimensionsError):
+        whiten(x, 4)
+
+
+def test_whiten_rejects_rank_deficient():
+    """(whitening.rs:71-79) near-zero singular value -> error."""
+    base = np.random.default_rng(6).standard_normal((1, 100))
+    x = np.vstack([base, 2 * base, 3 * base])  # rank 1
+    x -= x.mean(axis=1, keepdims=True)
+    with pytest.raises(SingularMatrixError):
+        whiten(jnp.asarray(x), 3)
