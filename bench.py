@@ -30,7 +30,8 @@ import numpy as np
 
 N_COMPONENTS = 64
 N_SAMPLES = 1_000_000
-TOL = 1e-5  # f32-achievable; the x64 conformance tests run tol=1e-7
+TOL = 1e-7  # the reference tolerance: achievable in f32 thanks to the
+# delta-based line search + per-tile f64-reduced moment accumulation
 MAX_ITER = 100
 REPS = 3
 
@@ -49,7 +50,8 @@ def _tpu_samples_per_sec() -> tuple:
     xw = whiten(xc, N_COMPONENTS).data
 
     opts = CoreOptions(
-        density=Tanh(), ortho=True, extended=True, has_cov=True, m=7, ls_tries=10
+        density=Tanh(), ortho=True, extended=True, has_cov=True, m=7, ls_tries=10,
+        use_pallas=True,
     )
     cov = jnp.eye(N_COMPONENTS, dtype=jnp.float32)
 

@@ -43,6 +43,9 @@ class PicardConfig:
     # TPU-native extension: compute dtype (None = infer from input /
     # platform; see solver._resolve_dtype).
     dtype: Optional[Any] = None
+    # TPU-native extension: use the fused Pallas data-axis kernels.
+    # None = auto (on when running on TPU).
+    use_pallas: Optional[bool] = None
 
     @staticmethod
     def builder() -> "ConfigBuilder":
@@ -144,6 +147,10 @@ class ConfigBuilder:
 
     def dtype(self, dtype) -> "ConfigBuilder":
         self._kwargs["dtype"] = dtype
+        return self
+
+    def use_pallas(self, use_pallas: bool) -> "ConfigBuilder":
+        self._kwargs["use_pallas"] = use_pallas
         return self
 
     def build(self) -> PicardConfig:

@@ -3,26 +3,36 @@
 Re-design of the reference's imperative hot loop (src/core.rs:162-401)
 as a single jitted ``lax.while_loop`` over an immutable carry:
 
+  * **Implicit Y.** The reference carries the rotated data Y and
+    rewrites it every accepted step (core.rs:124, 372). Here the loop
+    exploits the exact invariant ``Y == W @ X`` (W starts at identity
+    and accumulates every line-search transform), so the carry holds
+    only the tiny N x N state; the N x T data matrix X is read-only.
+    Every data pass fuses the rotation into the moment/log-lik kernel
+    (Pallas on TPU, XLA elsewhere), so one optimizer iteration performs
+    (1 + line-search tries) streaming reads of X and ZERO N x T writes.
   * the L-BFGS memory (Vec push/remove in core.rs:296-312) becomes a
-    fixed-shape (m, N, N) ring with a validity count, so shapes are
-    static under jit;
+    fixed-shape (m, N, N) ring with a validity count;
   * the backtracking line search with early return (core.rs:99-150)
-    becomes an inner ``lax.while_loop`` with an accept flag;
+    becomes an inner ``lax.while_loop`` with an accept flag — a
+    rejected try costs one fused loss pass, never a Y' materialization;
   * the gradient-descent fallback (core.rs:349-364) and the extended
     sign-change memory flush (core.rs:317-331) are ``lax.cond``s;
-  * the density is a static argument, so tanh/exp/cube elementwise math
-    is baked into the trace and fuses into the moment contractions.
+  * the density is a static argument: tanh/exp/cube elementwise math is
+    baked into the trace and fused into the data kernels.
 
-Data layout: Y is (n_components, n_samples); the samples axis may be
-sharded over a 1-D device mesh. Every T-axis contraction lives in
-ops/moments.py (XLA) or ops/pallas_kernels.py (fused TPU kernels) and
-reduces with psum under SPMD; all N x N algebra here is replicated.
+Sharding: X may be sharded over a 1-D "samples" mesh axis. The XLA
+kernel path relies on GSPMD (contractions become local partials +
+psum); the Pallas path is wrapped in ``shard_map`` with explicit psums.
+All N x N algebra is replicated. Matmuls run at Precision.HIGHEST —
+the default TPU bf16 pass costs ~2 digits of gradient-norm floor,
+which matters at tol near 1e-7 (SURVEY.md §7 hard part c).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -30,16 +40,12 @@ from jax import lax
 
 from ..ops.densities import Density
 from ..ops.linalg import matrix_exp, skew_symmetric
-from ..ops.moments import (
-    compute_raw_moments_xla,
-    loglik_rowmeans_xla,
-)
+from ..ops.moments import RawMoments
 
 # Penalty loss for singular/failed evaluations (core.rs:90-96).
 _SINGULAR_LOSS = 1e15
 # Hard-coded fallback line-search tries (core.rs:361).
 _FALLBACK_LS_TRIES = 10
-# Skip L-BFGS pairs whose curvature denominator is ~0/-inf (core.rs:299-311).
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,7 +59,7 @@ class CoreOptions:
     m: int
     ls_tries: int
     verbose: bool = False
-    data_sharding: Any = None  # optional NamedSharding for Y (None, "samples")
+    data_sharding: Any = None  # optional NamedSharding (None, "samples") for X
     use_pallas: bool = False
 
 
@@ -67,8 +73,7 @@ class LbfgsMemory(NamedTuple):
 
 
 class CoreState(NamedTuple):
-    w: jnp.ndarray  # (N, N) replicated
-    y: jnp.ndarray  # (N, T) sharded over samples
+    w: jnp.ndarray  # (N, N) replicated; Y == W @ X implicitly
     loss: jnp.ndarray
     signs: jnp.ndarray  # (N,)
     old_signs: jnp.ndarray  # (N,)
@@ -91,35 +96,165 @@ class CoreResult(NamedTuple):
     signs: jnp.ndarray
 
 
-def _constrain(y, opts: CoreOptions):
-    if opts.data_sharding is not None:
-        return lax.with_sharding_constraint(y, opts.data_sharding)
-    return y
+_HI = jax.lax.Precision.HIGHEST
 
 
-def _compute_raw_moments(y, opts: CoreOptions, need_h: bool, need_ysq: bool):
+def _dot(a, b):
+    return jnp.dot(a, b, precision=_HI)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Fused data-axis passes: rotate + score/log-lik + reduce over T.
+# ---------------------------------------------------------------------------
+
+
+def _shard_mapped(local_fn, sharding, x, *replicated):
+    """Run ``local_fn(x_shard, *replicated)`` per shard, psum the outputs."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    mesh = sharding.mesh
+    axis = sharding.spec[1]
+
+    def wrapped(x_local, *reps):
+        outs = local_fn(x_local, *reps)
+        return tuple(lax.psum(o, axis) for o in outs)
+
+    n_rep = len(replicated)
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(P(None, axis),) + (P(),) * n_rep,
+        out_specs=P(),
+    )
+    try:
+        # pallas_call outputs carry no varying-mesh-axes metadata; the
+        # explicit psums above make the outputs replicated regardless.
+        mapped = shard_map(wrapped, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - older jax spelling
+        mapped = shard_map(wrapped, check_rep=False, **kwargs)
+    return mapped(x, *replicated)
+
+
+def data_moments(w, x, opts: CoreOptions, need_h: bool, need_ysq: bool) -> RawMoments:
+    """Normalized moments of Y = W @ X (core.rs:215-276 quantities):
+    G = E[psi(Y) Y^T], pm = E[psi'(Y)], H = E[psi'(Y) (Y^2)^T],
+    ysq = E[Y^2] — all computed in one streaming pass over X."""
+    n, t = x.shape
+    dtype = x.dtype
+    inv_t = jnp.asarray(1.0 / t, dtype)
+
     if opts.use_pallas:
-        from ..ops.pallas_kernels import compute_raw_moments_fused
+        from ..ops.pallas_kernels import rotated_moments_sums
 
-        return compute_raw_moments_fused(y, opts.density, need_h, need_ysq)
-    return compute_raw_moments_xla(y, opts.density, need_h, need_ysq)
+        interp = _interpret()
+
+        def local(x_local, w_rep):
+            return rotated_moments_sums(
+                w_rep, x_local, opts.density, need_h, need_ysq, interpret=interp
+            )
+
+        if opts.data_sharding is not None:
+            g, pm, h, ysq = _shard_mapped(local, opts.data_sharding, x, w)
+        else:
+            g, pm, h, ysq = local(x, w)
+        return RawMoments(g * inv_t, pm * inv_t, h * inv_t, ysq * inv_t)
+
+    # XLA path: GSPMD shards the contractions automatically.
+    y = _dot(w, x)
+    psi, psi_d = opts.density.score_and_der(y)
+    g = _dot(psi, y.T) * inv_t
+    pm = jnp.mean(psi_d, axis=1)
+    if need_h:
+        ysq_mat = y * y
+        h = _dot(psi_d, ysq_mat.T) * inv_t
+    else:
+        h = jnp.zeros((n, n), dtype)
+    ysq = jnp.mean(y * y, axis=1) if need_ysq else jnp.zeros((n,), dtype)
+    return RawMoments(g, pm, h, ysq)
 
 
-def _loglik_rowmeans(y, opts: CoreOptions):
+def data_loglik(m, x, opts: CoreOptions, need_ysq: bool):
+    """(E[log_lik(M X)] per row, E[(M X)^2] per row) in one pass."""
+    t = x.shape[1]
+    inv_t = jnp.asarray(1.0 / t, x.dtype)
+
     if opts.use_pallas:
-        from ..ops.pallas_kernels import loglik_rowmeans_fused
+        from ..ops.pallas_kernels import rotated_loglik_sums
 
-        return loglik_rowmeans_fused(y, opts.density)
-    return loglik_rowmeans_xla(y, opts.density)
+        interp = _interpret()
+
+        def local(x_local, m_rep):
+            return rotated_loglik_sums(
+                m_rep, x_local, opts.density, need_ysq, interpret=interp
+            )
+
+        if opts.data_sharding is not None:
+            ll, ysq = _shard_mapped(local, opts.data_sharding, x, m)
+        else:
+            ll, ysq = local(x, m)
+        return ll * inv_t, ysq * inv_t
+
+    y = _dot(m, x)
+    ll = jnp.mean(opts.density.log_lik(y), axis=1)
+    ysq = jnp.mean(y * y, axis=1) if need_ysq else jnp.zeros_like(ll)
+    return ll, ysq
 
 
-def compute_loss(y, w, signs, opts: CoreOptions):
-    """Negative log-likelihood objective (core.rs:39-85).
+def data_loglik_delta(m_new, m_old, x, opts: CoreOptions, need_ysq: bool):
+    """Per-row means of log_lik(M_new X) - log_lik(M_old X) (+ Y^2 delta).
+
+    The subtraction happens per element before any reduction, so the
+    line search can resolve loss decreases far below the absolute f32
+    loss resolution (which otherwise floors the gradient norm around
+    1e-5 at T = 1e6).
+    """
+    t = x.shape[1]
+    inv_t = jnp.asarray(1.0 / t, x.dtype)
+
+    if opts.use_pallas:
+        from ..ops.pallas_kernels import rotated_loglik_delta_sums
+
+        interp = _interpret()
+
+        def local(x_local, mn, mo):
+            return rotated_loglik_delta_sums(
+                mn, mo, x_local, opts.density, need_ysq, interpret=interp
+            )
+
+        if opts.data_sharding is not None:
+            dll, dysq = _shard_mapped(local, opts.data_sharding, x, m_new, m_old)
+        else:
+            dll, dysq = local(x, m_new, m_old)
+        return dll * inv_t, dysq * inv_t
+
+    y_new = _dot(m_new, x)
+    y_old = _dot(m_old, x)
+    dll = jnp.mean(opts.density.log_lik(y_new) - opts.density.log_lik(y_old), axis=1)
+    if need_ysq:
+        dysq = jnp.mean(y_new * y_new - y_old * y_old, axis=1)
+    else:
+        dysq = jnp.zeros_like(dll)
+    return dll, dysq
+
+
+def compute_loss(w, x, signs, opts: CoreOptions):
+    """Negative log-likelihood objective of Y = W @ X (core.rs:39-85).
 
     Singular W maps to the 1e15 penalty (core.rs:90-96) instead of an
     error so the line search steers away from it.
     """
-    dtype = y.dtype
+    dtype = x.dtype
+    need_ysq = opts.extended and not opts.ortho
+    ll_means, ysq_means = data_loglik(w, x, opts, need_ysq)
+
     if not opts.ortho:
         sign, log_abs_det = jnp.linalg.slogdet(w)
         logdet_term = jnp.where(
@@ -130,12 +265,15 @@ def compute_loss(y, w, signs, opts: CoreOptions):
     else:
         logdet_term = jnp.asarray(0.0, dtype)
 
-    ll_means = _loglik_rowmeans(y, opts)
     loss = logdet_term + jnp.sum(signs * ll_means)
-
-    if opts.extended and not opts.ortho:
-        loss = loss + 0.5 * jnp.sum(jnp.mean(y * y, axis=1))
+    if need_ysq:
+        loss = loss + 0.5 * jnp.sum(ysq_means)
     return loss
+
+
+# ---------------------------------------------------------------------------
+# Replicated N x N pieces: L-BFGS, Hessian helpers, line search.
+# ---------------------------------------------------------------------------
 
 
 def _push_memory(mem: LbfgsMemory, s, y, r, do_push) -> LbfgsMemory:
@@ -232,53 +370,77 @@ def compute_direction(g, h, h_off, mem: LbfgsMemory, opts: CoreOptions):
     return -z
 
 
-def line_search(y, w, direction, signs, current_loss, ls_tries, opts: CoreOptions):
-    """Backtracking line search (core.rs:99-150).
+def line_search(x, w, direction, signs, current_loss, ls_tries, opts: CoreOptions):
+    """Backtracking line search (core.rs:99-150), Y kept implicit.
 
     Tries alpha = 1, 1/2, 1/4, ... accepting the first loss decrease.
-    On failure the returned (y, w, loss) are from the *last tried*
-    alpha while the returned step uses the once-more-halved alpha —
-    matching the reference exactly (core.rs:117-149).
+    The accept test ``loss_new < loss_current`` (core.rs:130) is
+    evaluated as ``delta < 0``: the density term's cancellation happens
+    per element inside a fused kernel, and the log-det term's
+    cancellation is exact algebra —
+    ``log|det(Tm W)| - log|det W| = log|det Tm|`` — so arbitrarily
+    small true decreases remain resolvable in f32. A rejected try reads
+    X once and writes nothing. On failure the returned (w, loss) are
+    from the *last tried* alpha while the returned step uses the
+    once-more-halved alpha — matching the reference exactly
+    (core.rs:117-149).
     """
     n = w.shape[0]
-    dtype = y.dtype
+    dtype = x.dtype
     eye = jnp.eye(n, dtype=dtype)
+    need_ysq = opts.extended and not opts.ortho
 
     def try_alpha(alpha):
         if opts.ortho:
             tm = matrix_exp(direction * alpha)
         else:
             tm = eye + alpha * direction
-        y_new = _constrain(tm @ y, opts)
-        w_new = tm @ w
-        loss = compute_loss(y_new, w_new, signs, opts)
-        return y_new, w_new, loss
+        w_new = _dot(tm, w)
+
+        dll, dysq = data_loglik_delta(w_new, w, x, opts, need_ysq)
+        delta = jnp.sum(signs * dll)
+        if need_ysq:
+            delta = delta + 0.5 * jnp.sum(dysq)
+        if not opts.ortho:
+            # -log|det W_new| + log|det W| == -log|det Tm|; a singular
+            # candidate gets the 1e15 penalty (core.rs:90-96).
+            sign_tm, log_abs_tm = jnp.linalg.slogdet(tm)
+            delta = delta + jnp.where(
+                sign_tm == 0,
+                jnp.asarray(_SINGULAR_LOSS, dtype),
+                -log_abs_tm.astype(dtype),
+            )
+        return w_new, delta
 
     def cond(carry):
-        alpha, tries, success, _, _, _ = carry
+        alpha, tries, success, _, _ = carry
         return (~success) & (tries < ls_tries)
 
     def body(carry):
-        alpha, tries, _, _, _, _ = carry
-        y_new, w_new, loss = try_alpha(alpha)
-        success = loss < current_loss
+        alpha, tries, _, _, _ = carry
+        w_new, delta = try_alpha(alpha)
+        success = delta < 0
         next_alpha = jnp.where(success, alpha, alpha / 2.0)
-        return (next_alpha, tries + 1, success, y_new, w_new, loss)
+        return (next_alpha, tries + 1, success, w_new, delta)
 
     init = (
         jnp.asarray(1.0, dtype),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
-        y,
         w,
-        jnp.asarray(current_loss, dtype),
+        jnp.asarray(0.0, dtype),
     )
-    alpha, _, success, y_new, w_new, loss = lax.while_loop(cond, body, init)
+    alpha, _, success, w_new, delta = lax.while_loop(cond, body, init)
     step = direction * alpha
-    return success, y_new, w_new, loss, step
+    return success, w_new, current_loss + delta, step
 
 
-def _iteration_update(st: CoreState, g, h, h_off, signs, old_signs, sign_change,
+# ---------------------------------------------------------------------------
+# The iteration body and driver.
+# ---------------------------------------------------------------------------
+
+
+def _iteration_update(st: CoreState, x, g, h, h_off, signs, old_signs, sign_change,
                       gradient_norm, covariance, lambda_min, opts: CoreOptions) -> CoreState:
     """Post-convergence-check part of one iteration (core.rs:296-390)."""
     # L-BFGS memory push with the previous step (core.rs:296-313).
@@ -292,8 +454,10 @@ def _iteration_update(st: CoreState, g, h, h_off, signs, old_signs, sign_change,
     # (core.rs:317-331). Singular here is a 1e15 penalty, not an error.
     if opts.extended:
         def flush(mem):
-            new_loss = compute_loss(st.y, st.w, signs, opts)
-            new_loss = jnp.where(jnp.isfinite(new_loss), new_loss, st.loss.dtype.type(_SINGULAR_LOSS))
+            new_loss = compute_loss(st.w, x, signs, opts)
+            new_loss = jnp.where(
+                jnp.isfinite(new_loss), new_loss, st.loss.dtype.type(_SINGULAR_LOSS)
+            )
             return new_loss, _clear_memory(mem)
 
         flushed_loss, flushed_mem = flush(memory)
@@ -307,24 +471,25 @@ def _iteration_update(st: CoreState, g, h, h_off, signs, old_signs, sign_change,
 
     direction = compute_direction(g, h, h_off, memory, opts)
 
-    success, ls_y, ls_w, ls_loss, ls_step = line_search(
-        st.y, st.w, direction, signs, current_loss, st_ls_tries(opts), opts
+    success, ls_w, ls_loss, ls_step = line_search(
+        x, st.w, direction, signs, current_loss,
+        jnp.asarray(opts.ls_tries, jnp.int32), opts,
     )
 
     # Gradient-descent fallback on line-search failure (core.rs:349-364):
     # clear memory and retry with -G for 10 tries; take its result even
     # if it also fails.
     def with_fallback(_):
-        fb_success, fb_y, fb_w, fb_loss, fb_step = line_search(
-            st.y, st.w, -g, signs, current_loss,
+        _, fb_w, fb_loss, fb_step = line_search(
+            x, st.w, -g, signs, current_loss,
             jnp.asarray(_FALLBACK_LS_TRIES, jnp.int32), opts,
         )
-        return fb_y, fb_w, fb_loss, fb_step, jnp.zeros_like(memory.count)
+        return fb_w, fb_loss, fb_step, jnp.zeros_like(memory.count)
 
     def without_fallback(_):
-        return ls_y, ls_w, ls_loss, ls_step, memory.count
+        return ls_w, ls_loss, ls_step, memory.count
 
-    new_y, new_w, new_loss, step, mem_count = lax.cond(
+    new_w, new_loss, step, mem_count = lax.cond(
         ~success, with_fallback, without_fallback, operand=None
     )
     memory = LbfgsMemory(memory.s_mem, memory.y_mem, memory.r_mem, mem_count)
@@ -332,7 +497,7 @@ def _iteration_update(st: CoreState, g, h, h_off, signs, old_signs, sign_change,
     # Extended covariance proxy update C = W cov W^T (core.rs:375-379);
     # only when an explicit covariance was supplied.
     if opts.extended and opts.has_cov:
-        c = new_w @ covariance @ new_w.T
+        c = _dot(_dot(new_w, covariance), new_w.T)
     else:
         c = st.c
 
@@ -344,7 +509,6 @@ def _iteration_update(st: CoreState, g, h, h_off, signs, old_signs, sign_change,
 
     return CoreState(
         w=new_w,
-        y=_constrain(new_y, opts),
         loss=new_loss,
         signs=signs,
         old_signs=old_signs,
@@ -359,18 +523,14 @@ def _iteration_update(st: CoreState, g, h, h_off, signs, old_signs, sign_change,
     )
 
 
-def st_ls_tries(opts: CoreOptions):
-    return jnp.asarray(opts.ls_tries, jnp.int32)
-
-
-def _iteration_body(st: CoreState, covariance, tol, lambda_min, opts: CoreOptions) -> CoreState:
+def _iteration_body(st: CoreState, x, covariance, tol, lambda_min, opts: CoreOptions) -> CoreState:
     """One full optimizer iteration (core.rs:211-391)."""
     n = st.w.shape[0]
-    dtype = st.y.dtype
+    dtype = x.dtype
 
     need_h = not opts.ortho
     need_ysq = opts.extended and not opts.ortho
-    moments = _compute_raw_moments(st.y, opts, need_h, need_ysq)
+    moments = data_moments(st.w, x, opts, need_h, need_ysq)
     g = moments.g_raw
     pm0 = moments.pm_raw
 
@@ -426,14 +586,14 @@ def _iteration_body(st: CoreState, covariance, tol, lambda_min, opts: CoreOption
 
     def proceed(_):
         return _iteration_update(
-            st, g, h, h_off, signs, old_signs, sign_change,
+            st, x, g, h, h_off, signs, old_signs, sign_change,
             gradient_norm, covariance, lambda_min, opts,
         )
 
     return lax.cond(converged, finish, proceed, operand=None)
 
 
-def init_state(x, covariance, opts: CoreOptions) -> Tuple[CoreState, jnp.ndarray]:
+def init_state(x, covariance, opts: CoreOptions):
     """Build the initial carry (core.rs:176-209).
 
     Returns (state, initial_singular) — the reference errors out if the
@@ -443,17 +603,17 @@ def init_state(x, covariance, opts: CoreOptions) -> Tuple[CoreState, jnp.ndarray
     n, t = x.shape
     dtype = x.dtype
     w = jnp.eye(n, dtype=dtype)
-    y = _constrain(x, opts)
     signs = jnp.ones((n,), dtype)
 
-    loss = compute_loss(y, w, signs, opts)
+    loss = compute_loss(w, x, signs, opts)
     initial_singular = loss >= _SINGULAR_LOSS
 
     if opts.extended:
         if opts.has_cov:
             c = covariance
         else:
-            c = (y @ y.T) / jnp.asarray(t, dtype)
+            # Y == X at init; GSPMD shards this one-time Gram + psum.
+            c = _dot(x, x.T) / jnp.asarray(t, dtype)
     else:
         c = jnp.eye(n, dtype=dtype)
 
@@ -466,7 +626,6 @@ def init_state(x, covariance, opts: CoreOptions) -> Tuple[CoreState, jnp.ndarray
 
     state = CoreState(
         w=w,
-        y=y,
         loss=loss,
         signs=signs,
         old_signs=jnp.ones((n,), dtype),
@@ -484,6 +643,9 @@ def init_state(x, covariance, opts: CoreOptions) -> Tuple[CoreState, jnp.ndarray
 
 def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> CoreResult:
     """Run the full optimizer loop (core.rs:162-401). Jit-friendly."""
+    if opts.data_sharding is not None:
+        x = lax.with_sharding_constraint(x, opts.data_sharding)
+
     state, _ = init_state(x, covariance, opts)
     tol = jnp.asarray(tol, x.dtype)
     lambda_min = jnp.asarray(lambda_min, x.dtype)
@@ -493,12 +655,18 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
         return (st.it < max_iter) & (~st.converged)
 
     def body(st: CoreState):
-        return _iteration_body(st, covariance, tol, lambda_min, opts)
+        return _iteration_body(st, x, covariance, tol, lambda_min, opts)
 
     final = lax.while_loop(cond, body, state)
 
+    # Materialize the sources once, at the end (the reference rewrites
+    # them every iteration).
+    y = _dot(final.w, x)
+    if opts.data_sharding is not None:
+        y = lax.with_sharding_constraint(y, opts.data_sharding)
+
     return CoreResult(
-        y=final.y,
+        y=y,
         w=final.w,
         converged=final.converged,
         gradient_norm=final.gradient_norm,

@@ -1,0 +1,291 @@
+"""Fused Pallas TPU kernels for the Picard hot loop.
+
+The core loop's invariant Y = W @ X (W accumulates every line-search
+transform from identity) lets the data matrix stay read-only in HBM:
+each pass fuses
+
+    rotate (MXU: W @ x_tile) -> score/log-lik (VPU) -> moment
+    contraction (MXU) / row reduction
+
+into ONE kernel that reads each X tile exactly once. Per optimizer
+iteration the HBM traffic is (1 + line_search_tries) reads of X and
+ZERO N x T writes — the reference's formulation (core.rs:124, 215-221)
+materializes psi(Y), psi'(Y), Y^2 and a fresh Y per try.
+
+Accuracy design: each grid step writes its tile-local partial to its
+own output slot; the (n_tiles, ...) partials (a few MB) are reduced
+OUTSIDE the kernel in float64. A single running f32 accumulator would
+be n_tiles adds deep and costs ~2 digits of gradient-norm floor at
+T = 1M; per-tile partials + f64 reduction keep the moment error at the
+single-tile level, which is what lets f32 TPU runs converge well below
+1e-5 (SURVEY.md §7 hard part c).
+
+Two kernels cover everything:
+  * rotated_moments — G = psi(WX)(WX)^T, E[psi'], optionally
+    H = psi'(WX)((WX)^2)^T and E[(WX)^2]  (core.rs:215-276)
+  * rotated_loglik  — row-sums of log_lik(WX) (+ optional E[(WX)^2]),
+    the line-search loss's data term (core.rs:73-83)
+
+Both return UNNORMALIZED sums over the local T axis so multi-chip
+callers can psum across sample shards before dividing by global T.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .densities import Density
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _tile_t(n: int, t: int) -> int:
+    """Pick a T-tile: multiple of 128 lanes, VMEM-friendly vs N."""
+    if t <= 512:
+        # Tiny inputs (tests): one tile, rounded up to the lane width.
+        return max(128, -(-t // 128) * 128)
+    # ~2MB for the x tile: with input double-buffering plus the rotated
+    # y (and the delta kernel's second rotation) VMEM peaks at roughly
+    # 5x the tile, safely under the ~16MB scoped limit.
+    budget = 2 * 1024 * 1024 // max(n * 4, 1)
+    bt = max(512, min(4096, budget))
+    return (bt // 128) * 128
+
+
+def _mask_cols(i, bt, t, shape):
+    """Lane mask for the (possibly partial) last tile."""
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return (i * bt + col) < t
+
+
+def _reduce_partials(partials, dtype):
+    """Sum (n_tiles, ...) tile partials in f64, cast back to ``dtype``."""
+    if dtype == jnp.float64:
+        return jnp.sum(partials, axis=0)
+    return jnp.sum(partials.astype(jnp.float64), axis=0).astype(dtype)
+
+
+def _rotated_moments_kernel(
+    w_ref, x_ref, g_ref, pm_ref, h_ref, ysq_ref, *, density, need_h, need_ysq, t, bt, acc
+):
+    i = pl.program_id(0)
+
+    x_t = x_ref[...]
+    if t % bt != 0:
+        x_t = jnp.where(_mask_cols(i, bt, t, x_t.shape), x_t, 0.0)
+
+    y = jnp.dot(w_ref[...], x_t, preferred_element_type=acc, precision=_HI)
+    psi, psi_d = density.score_and_der(y)
+    if t % bt != 0:
+        # psi(0) == 0 for all densities, but psi'(0) != 0 — mask it.
+        psi_d = jnp.where(_mask_cols(i, bt, t, psi_d.shape), psi_d, 0.0)
+
+    g_ref[0] = jax.lax.dot_general(
+        psi, y, (((1,), (1,)), ((), ())), preferred_element_type=acc, precision=_HI
+    )
+    pm_ref[0] = jnp.sum(psi_d, axis=1, keepdims=True)
+    if need_h:
+        ysq = y * y
+        h_ref[0] = jax.lax.dot_general(
+            psi_d, ysq, (((1,), (1,)), ((), ())),
+            preferred_element_type=acc, precision=_HI,
+        )
+    else:
+        h_ref[0] = jnp.zeros_like(h_ref[0])
+    if need_ysq:
+        ysq_ref[0] = jnp.sum(y * y, axis=1, keepdims=True)
+    else:
+        ysq_ref[0] = jnp.zeros_like(ysq_ref[0])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("density", "need_h", "need_ysq", "interpret")
+)
+def rotated_moments_sums(
+    w, x, density: Density, need_h: bool, need_ysq: bool, interpret: bool = False
+):
+    """Unnormalized (G_sum, pm_sum, H_sum, ysq_sum) of Y = W @ X.
+
+    Shapes: (N, N), (N,), (N, N), (N,); the h/ysq outputs are zeros
+    when their flags are off (kept in the signature so the caller's
+    pytree is static).
+    """
+    n, t = x.shape
+    bt = _tile_t(n, t)
+    n_tiles = pl.cdiv(t, bt)
+    dtype = x.dtype
+
+    kernel = functools.partial(
+        _rotated_moments_kernel,
+        density=density,
+        need_h=need_h,
+        need_ysq=need_ysq,
+        t=t,
+        bt=bt,
+        acc=dtype,
+    )
+
+    g, pm, h, ysq = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, n, n), dtype),
+            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
+            jax.ShapeDtypeStruct((n_tiles, n, n), dtype),
+            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
+        ],
+        interpret=interpret,
+    )(w.astype(dtype), x)
+
+    return (
+        _reduce_partials(g, dtype),
+        _reduce_partials(pm, dtype)[:, 0],
+        _reduce_partials(h, dtype),
+        _reduce_partials(ysq, dtype)[:, 0],
+    )
+
+
+def _rotated_loglik_kernel(
+    m_ref, x_ref, ll_ref, ysq_ref, *, density, need_ysq, t, bt, acc
+):
+    i = pl.program_id(0)
+
+    x_t = x_ref[...]
+    if t % bt != 0:
+        x_t = jnp.where(_mask_cols(i, bt, t, x_t.shape), x_t, 0.0)
+
+    y = jnp.dot(m_ref[...], x_t, preferred_element_type=acc, precision=_HI)
+    ll = density.log_lik(y)
+    if t % bt != 0:
+        # log_lik(0) != 0 (e.g. tanh: log(2)/alpha) — mask the padding.
+        ll = jnp.where(_mask_cols(i, bt, t, ll.shape), ll, 0.0)
+
+    ll_ref[0] = jnp.sum(ll, axis=1, keepdims=True)
+    if need_ysq:
+        ysq_ref[0] = jnp.sum(y * y, axis=1, keepdims=True)
+    else:
+        ysq_ref[0] = jnp.zeros_like(ysq_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("density", "need_ysq", "interpret"))
+def rotated_loglik_sums(
+    m, x, density: Density, need_ysq: bool, interpret: bool = False
+):
+    """Unnormalized (loglik_rowsums, ysq_rowsums) of Y = M @ X.
+
+    This is the line-search loss's data term WITHOUT materializing the
+    candidate Y' in HBM — rejected line-search steps cost one read of
+    X and no writes.
+    """
+    n, t = x.shape
+    bt = _tile_t(n, t)
+    n_tiles = pl.cdiv(t, bt)
+    dtype = x.dtype
+
+    kernel = functools.partial(
+        _rotated_loglik_kernel, density=density, need_ysq=need_ysq, t=t, bt=bt,
+        acc=dtype,
+    )
+
+    ll, ysq = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
+            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
+        ],
+        interpret=interpret,
+    )(m.astype(dtype), x)
+    return _reduce_partials(ll, dtype)[:, 0], _reduce_partials(ysq, dtype)[:, 0]
+
+
+def _rotated_delta_kernel(
+    m_new_ref, m_old_ref, x_ref, dll_ref, dysq_ref, *, density, need_ysq, t, bt, acc
+):
+    i = pl.program_id(0)
+
+    x_t = x_ref[...]
+    if t % bt != 0:
+        x_t = jnp.where(_mask_cols(i, bt, t, x_t.shape), x_t, 0.0)
+
+    y_new = jnp.dot(m_new_ref[...], x_t, preferred_element_type=acc, precision=_HI)
+    y_old = jnp.dot(m_old_ref[...], x_t, preferred_element_type=acc, precision=_HI)
+    # Subtract per element BEFORE reducing: near convergence the
+    # difference is tiny and would vanish in an absolute-loss compare.
+    dll = density.log_lik(y_new) - density.log_lik(y_old)
+    if t % bt != 0:
+        dll = jnp.where(_mask_cols(i, bt, t, dll.shape), dll, 0.0)
+
+    dll_ref[0] = jnp.sum(dll, axis=1, keepdims=True)
+    if need_ysq:
+        dysq_ref[0] = jnp.sum(y_new * y_new - y_old * y_old, axis=1, keepdims=True)
+    else:
+        dysq_ref[0] = jnp.zeros_like(dysq_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("density", "need_ysq", "interpret"))
+def rotated_loglik_delta_sums(
+    m_new, m_old, x, density: Density, need_ysq: bool, interpret: bool = False
+):
+    """Unnormalized row-sums of log_lik(M_new X) - log_lik(M_old X)
+    (and optionally (M_new X)^2 - (M_old X)^2).
+
+    The line-search accept test ``loss_new < loss_current``
+    (core.rs:130) is evaluated as ``delta < 0`` with the cancellation
+    done per element inside the kernel; an absolute f32 loss compare
+    bottoms out around 1e-5 decreases, this resolves decreases at
+    relative-epsilon scale. Two rotations per tile instead of one —
+    extra MXU flops, identical HBM traffic.
+    """
+    n, t = x.shape
+    bt = _tile_t(n, t)
+    n_tiles = pl.cdiv(t, bt)
+    dtype = x.dtype
+
+    kernel = functools.partial(
+        _rotated_delta_kernel, density=density, need_ysq=need_ysq, t=t, bt=bt,
+        acc=dtype,
+    )
+
+    dll, dysq = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
+            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
+        ],
+        interpret=interpret,
+    )(m_new.astype(dtype), m_old.astype(dtype), x)
+    return _reduce_partials(dll, dtype)[:, 0], _reduce_partials(dysq, dtype)[:, 0]

@@ -80,6 +80,13 @@ class Picard:
 
         sharding = _data_sharding(mesh)
         if sharding is not None:
+            n_devices = mesh.devices.size
+            if p % n_devices != 0:
+                raise InvalidDimensionsError(
+                    f"n_samples ({p}) must be divisible by the mesh size "
+                    f"({n_devices}) to shard the samples axis; trim to "
+                    f"{p - p % n_devices} or pad the data"
+                )
             x = jax.device_put(x, sharding)
 
         # RNG (solver.rs:57-60). jax PRNG replaces StdRng; random_state
@@ -163,6 +170,12 @@ class Picard:
         if config.verbose:
             print("Running Picard...")
 
+        use_pallas = config.use_pallas
+        if use_pallas is None:
+            # Fused kernels are the fast path on TPU; elsewhere the XLA
+            # path is both faster and f64-capable.
+            use_pallas = jax.default_backend() == "tpu"
+
         opts = CoreOptions(
             density=config.density,
             ortho=config.ortho,
@@ -172,6 +185,7 @@ class Picard:
             ls_tries=config.ls_tries,
             verbose=config.verbose,
             data_sharding=sharding,
+            use_pallas=use_pallas,
         )
         core = run_core_jit(
             x1, covariance, config.tol, config.lambda_min, config.max_iter, opts

@@ -1,0 +1,137 @@
+"""Fused Pallas kernels vs the XLA reference path (interpret mode on CPU).
+
+Every kernel output and the full optimizer trajectory must agree with
+the plain-XLA formulation; on TPU hardware the same kernels compile to
+Mosaic (exercised by bench.py and the driver's compile check).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from picard_ica_tpu.models.core import CoreOptions, compute_loss, data_moments, run_core
+from picard_ica_tpu.ops.densities import Cube, Exp, Tanh
+from picard_ica_tpu.ops.pallas_kernels import (
+    rotated_loglik_sums,
+    rotated_moments_sums,
+)
+
+
+@pytest.mark.parametrize("density", [Tanh(), Exp(0.5), Cube()], ids=str)
+@pytest.mark.parametrize("shape", [(3, 256), (5, 1000), (8, 4096)])
+def test_rotated_moments_match_dense(density, shape):
+    n, t = shape
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((n, n)) * 0.5)
+    x = jnp.asarray(rng.standard_normal((n, t)))
+
+    g, pm, h, ysq = rotated_moments_sums(w, x, density, True, True, interpret=True)
+
+    y = np.asarray(w) @ np.asarray(x)
+    psi, psi_d = density.score_and_der(jnp.asarray(y))
+    psi, psi_d = np.asarray(psi), np.asarray(psi_d)
+    np.testing.assert_allclose(np.asarray(g), psi @ y.T, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(pm), psi_d.sum(axis=1), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(h), psi_d @ (y * y).T, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ysq), (y * y).sum(axis=1), rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("density", [Tanh(), Cube()], ids=str)
+@pytest.mark.parametrize("t", [255, 256, 1000])  # partial + exact tiles
+def test_rotated_loglik_match_dense(density, t):
+    n = 4
+    rng = np.random.default_rng(1)
+    m = jnp.asarray(rng.standard_normal((n, n)) * 0.5)
+    x = jnp.asarray(rng.standard_normal((n, t)))
+
+    ll, ysq = rotated_loglik_sums(m, x, density, True, interpret=True)
+
+    y = np.asarray(m) @ np.asarray(x)
+    ll_ref = np.asarray(density.log_lik(jnp.asarray(y))).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(ll), ll_ref, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ysq), (y * y).sum(axis=1), rtol=1e-9, atol=1e-9)
+
+
+def test_partial_tile_masking():
+    """T not divisible by the tile: padding must contribute nothing,
+    including to psi'(0) != 0 and log_lik(0) != 0 terms."""
+    n = 3
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.standard_normal((n, n)) * 0.5)
+    x_full = rng.standard_normal((n, 300))
+    full = rotated_moments_sums(
+        jnp.asarray(w), jnp.asarray(x_full), Tanh(), True, True, interpret=True
+    )
+    # Same data split shouldn't matter: sums over 300 == sums over 300.
+    ll_full, _ = rotated_loglik_sums(
+        jnp.asarray(w), jnp.asarray(x_full), Tanh(), False, interpret=True
+    )
+    y = np.asarray(w) @ x_full
+    np.testing.assert_allclose(
+        np.asarray(full[1]), (1 - np.tanh(y) ** 2).sum(axis=1), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(ll_full),
+        (np.abs(y) + np.log1p(np.exp(-2 * np.abs(y)))).sum(axis=1),
+        rtol=1e-9,
+    )
+
+
+def _make_opts(use_pallas, **kw):
+    defaults = dict(
+        density=Tanh(), ortho=True, extended=True, has_cov=True, m=7,
+        ls_tries=10, use_pallas=use_pallas,
+    )
+    defaults.update(kw)
+    return CoreOptions(**defaults)
+
+
+@pytest.mark.parametrize(
+    "mode_kw",
+    [
+        dict(ortho=True, extended=True),
+        dict(ortho=False, extended=False),
+        dict(ortho=False, extended=True),
+        dict(ortho=True, extended=False),
+    ],
+    ids=["ortho-ext", "plain", "ext-nonortho", "ortho-plain"],
+)
+def test_full_core_loop_pallas_vs_xla(mode_kw):
+    """The entire optimizer trajectory agrees between kernel paths."""
+    rng = np.random.default_rng(3)
+    u = rng.uniform(0.001, 0.999, size=(4, 2000))
+    x = np.sign(rng.standard_normal((4, 2000))) * (-np.log(u))
+    x -= x.mean(axis=1, keepdims=True)
+    x /= x.std(axis=1, keepdims=True)
+    x = jnp.asarray(x)
+    cov = jnp.eye(4)
+
+    res_xla = run_core(x, cov, 1e-7, 0.01, 60, _make_opts(False, **mode_kw))
+    res_pal = run_core(x, cov, 1e-7, 0.01, 60, _make_opts(True, **mode_kw))
+
+    assert int(res_xla.n_iterations) == int(res_pal.n_iterations)
+    assert bool(res_xla.converged) == bool(res_pal.converged)
+    np.testing.assert_allclose(
+        np.asarray(res_xla.w), np.asarray(res_pal.w), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_data_moments_dispatch_equivalence():
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.standard_normal((5, 5)) * 0.4)
+    x = jnp.asarray(rng.standard_normal((5, 777)))
+    mx = data_moments(w, x, _make_opts(False, ortho=False), True, True)
+    mp = data_moments(w, x, _make_opts(True, ortho=False), True, True)
+    for a, b in zip(mx, mp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12)
+
+
+def test_loss_pallas_vs_xla():
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.standard_normal((4, 4)))
+    x = jnp.asarray(rng.standard_normal((4, 500)))
+    signs = jnp.asarray([1.0, -1.0, 1.0, -1.0])
+    for kw in [dict(ortho=True, extended=True), dict(ortho=False, extended=True)]:
+        lx = compute_loss(w, x, signs, _make_opts(False, **kw))
+        lp = compute_loss(w, x, signs, _make_opts(True, **kw))
+        np.testing.assert_allclose(float(lx), float(lp), rtol=1e-10)

@@ -106,3 +106,28 @@ def test_sources_stay_sharded(eight_device_mesh):
     r = Picard.fit(x, PicardConfig(random_state=0), mesh=eight_device_mesh)
     sharding = r.sources.sharding
     assert not sharding.is_fully_replicated
+
+
+def test_sharded_pallas_path_matches_single(eight_device_mesh):
+    """shard_map-wrapped Pallas kernels (interpret on CPU) == single device."""
+    from picard_ica_tpu import PicardConfig
+
+    _, a, x = generate_test_data(4, 4000, 42)
+    cfg = PicardConfig(random_state=0, use_pallas=True, tol=1e-6)
+    r_single = Picard.fit(x, cfg)
+    r_mesh = Picard.fit(x, cfg, mesh=eight_device_mesh)
+    assert r_mesh.converged
+    np.testing.assert_allclose(
+        np.asarray(r_single.unmixing), np.asarray(r_mesh.unmixing), atol=1e-5
+    )
+
+
+def test_non_divisible_samples_rejected(eight_device_mesh):
+    """A clear error (not an obscure device_put failure) for odd T."""
+    from picard_ica_tpu import PicardConfig
+    from picard_ica_tpu.errors import InvalidDimensionsError
+    import pytest
+
+    _, _, x = generate_test_data(3, 4001, 7)
+    with pytest.raises(InvalidDimensionsError, match="divisible by the mesh size"):
+        Picard.fit(x, PicardConfig(random_state=0), mesh=eight_device_mesh)
