@@ -46,7 +46,22 @@ def _lcg_uniform(states: np.ndarray) -> np.ndarray:
 
 
 def generate_bench_data(n_features: int, n_samples: int, seed: int = 42) -> np.ndarray:
-    """Mixed Laplace data identical to the reference benchmark harness."""
+    """Mixed Laplace data identical to the reference benchmark harness.
+
+    Uses the native OpenMP generator when available (~50x faster at
+    64M samples; identical integer stream, f64 values within 1 ulp of
+    the NumPy path — bit-identical after the f32 cast TPU runs use);
+    falls back to the vectorized NumPy closed form.
+    """
+    from .. import native
+
+    if native.available():
+        data_flat, state = native.lcg_laplace(seed, n_features * n_samples)
+        data = data_flat.reshape(n_features, n_samples)
+        mix_flat, _ = native.lcg_uniform_centered(state, n_features * n_features)
+        mixing = mix_flat.reshape(n_features, n_features)
+        return mixing @ data
+
     states, state = _lcg_stream(seed, n_features * n_samples)
     u = _lcg_uniform(states)
     data = np.where(u < 0.5, np.log(np.maximum(2.0 * u, 1e-300)), -np.log(np.maximum(2.0 * (1.0 - u), 1e-300)))

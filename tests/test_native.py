@@ -1,0 +1,138 @@
+"""Tests for the native (C++) components: LCG datagen + f64 oracle.
+
+The oracle is the conformance ground truth standing in for the Rust
+reference (BASELINE.md demands Amari < 1e-3 vs the reference; the Rust
+toolchain is not in this image). These tests check (a) the native data
+stream is the reference's stream, and (b) the JAX solver and the
+independent C++ implementation converge to the same separation.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from picard_ica_tpu import native
+from picard_ica_tpu.models.core import CoreOptions, run_core_jit
+from picard_ica_tpu.ops.densities import Cube, Tanh
+from picard_ica_tpu.ops.whitening import center, whiten
+from picard_ica_tpu.utils.datagen import _lcg_stream, _lcg_uniform, generate_bench_data
+from picard_ica_tpu.utils.metrics import amari_distance
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable (no g++)"
+)
+
+
+def test_lcg_laplace_matches_python_reference_stream():
+    states, state_py = _lcg_stream(42, 4096)
+    u = _lcg_uniform(states)
+    expected = np.where(
+        u < 0.5,
+        np.log(np.maximum(2.0 * u, 1e-300)),
+        -np.log(np.maximum(2.0 * (1.0 - u), 1e-300)),
+    )
+    got, state_c = native.lcg_laplace(42, 4096)
+    assert state_c == state_py
+    # libm vs numpy log differ by <=1 ulp; identical after the f32 cast
+    # the TPU path consumes.
+    np.testing.assert_array_equal(
+        expected.astype(np.float32), got.astype(np.float32)
+    )
+
+
+def test_lcg_uniform_centered_matches_python():
+    states, _ = _lcg_stream(7, 256)
+    expected = _lcg_uniform(states) - 0.5
+    got, _ = native.lcg_uniform_centered(7, 256)
+    np.testing.assert_allclose(got, expected, rtol=0, atol=1e-15)
+
+
+def test_generate_bench_data_uses_native_and_matches_fallback():
+    native_out = generate_bench_data(8, 2048, seed=42)
+
+    # Recompute via the pure-NumPy path.
+    states, state = _lcg_stream(42, 8 * 2048)
+    u = _lcg_uniform(states)
+    data = np.where(
+        u < 0.5,
+        np.log(np.maximum(2.0 * u, 1e-300)),
+        -np.log(np.maximum(2.0 * (1.0 - u), 1e-300)),
+    ).reshape(8, 2048)
+    states, _ = _lcg_stream(state, 64)
+    mixing = _lcg_uniform(states).reshape(8, 8) - 0.5
+    np.testing.assert_allclose(native_out, mixing @ data, rtol=1e-12, atol=1e-12)
+
+
+def test_oracle_whiten_matches_jax():
+    x = generate_bench_data(12, 8192, seed=3)
+    xc_o, mean_o = native.oracle_center(x)
+    xw_o, k_o = native.oracle_whiten(xc_o, 12)
+
+    xc_j, mean_j = center(jnp.asarray(x))
+    wr = whiten(xc_j, 12)
+    np.testing.assert_allclose(np.asarray(mean_j), mean_o, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(wr.whitening_matrix), k_o, atol=1e-7)
+    # The oracle's whitened covariance is the identity to f64 accuracy.
+    cov = xw_o @ xw_o.T / xw_o.shape[1]
+    np.testing.assert_allclose(cov, np.eye(12), atol=1e-10)
+
+
+@pytest.mark.parametrize("ortho,extended", [(True, True), (True, False), (False, False)])
+def test_oracle_core_agrees_with_jax_core(ortho, extended):
+    """Same whitened data through both implementations -> same separation."""
+    n, t = 10, 16384
+    x = generate_bench_data(n, t, seed=11)
+    xc, _ = native.oracle_center(x)
+    xw, _ = native.oracle_whiten(xc, n)
+
+    cov = np.eye(n) if extended else None
+    res_o = native.oracle_core(
+        xw, cov, density="tanh", ortho=ortho, extended=extended,
+        max_iter=300, tol=1e-7,
+    )
+
+    opts = CoreOptions(
+        density=Tanh(), ortho=ortho, extended=extended, has_cov=extended,
+        m=7, ls_tries=10, use_pallas=False,
+    )
+    cov_j = jnp.eye(n, dtype=jnp.float64) if extended else jnp.zeros((n, n), jnp.float64)
+    res_j = run_core_jit(jnp.asarray(xw), cov_j, 1e-7, 0.01, 300, opts)
+
+    assert res_o["converged"] and bool(res_j.converged)
+    # The two independent f64 implementations track each other exactly
+    # on this problem (observed Amari == 0.0); allow a little platform
+    # slack but keep the bound far below BASELINE's 1e-3.
+    amari = amari_distance(res_o["w"], np.linalg.inv(np.asarray(res_j.w)))
+    assert amari < 1e-9, f"oracle/jax separation mismatch: amari={amari}"
+    assert abs(res_o["n_iterations"] - int(res_j.n_iterations)) <= 2
+
+
+def test_oracle_recovers_ground_truth_mixing():
+    """End-to-end sanity: oracle separates a known Laplace mixture."""
+    n, t = 8, 16384
+    x = generate_bench_data(n, t, seed=42)
+    # Recover the mixing used by generate_bench_data.
+    states, state = _lcg_stream(42, n * t)
+    states, _ = _lcg_stream(state, n * n)
+    mixing = _lcg_uniform(states).reshape(n, n) - 0.5
+
+    xc, _ = native.oracle_center(x)
+    xw, k = native.oracle_whiten(xc, n)
+    res = native.oracle_core(xw, np.eye(n), max_iter=300, tol=1e-7)
+    w_full = res["w"] @ k
+    assert amari_distance(w_full, mixing) < 1e-2
+
+
+def test_oracle_ica_par_matches_jax_fastica():
+    from picard_ica_tpu.models.fastica import ica_par_jit
+
+    n, t = 6, 8192
+    x = generate_bench_data(n, t, seed=5)
+    xc, _ = native.oracle_center(x)
+    xw, _ = native.oracle_whiten(xc, n)
+
+    w0 = np.eye(n)
+    w_o = native.oracle_ica_par(xw, w0, 10, density="tanh")
+    w_j, _ = ica_par_jit(jnp.asarray(xw), Tanh(), 10, jnp.asarray(w0))
+    np.testing.assert_allclose(np.asarray(w_j), w_o, atol=1e-8)
