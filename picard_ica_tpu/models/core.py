@@ -61,6 +61,13 @@ class CoreOptions:
     verbose: bool = False
     data_sharding: Any = None  # optional NamedSharding (None, "samples") for X
     use_pallas: bool = False
+    # MXU precision of the fused hot-loop kernel: "f32" (6-pass bf16
+    # a.k.a. Precision.HIGHEST — the default and the measured-fastest
+    # on v5e, running at the MXU roofline) or "bf16x3" (split-bf16
+    # 3-pass; kept for future Mosaic/hardware generations — measured
+    # SLOWER under current Mosaic at N<=128 shapes, and its ~3e-6
+    # gradient floor misses tol=1e-7).
+    kernel_precision: str = "f32"
 
 
 class LbfgsMemory(NamedTuple):
@@ -81,6 +88,10 @@ class CoreState(NamedTuple):
     g_old: jnp.ndarray  # (N, N)
     prev_step: jnp.ndarray  # (N, N)
     memory: LbfgsMemory
+    # Raw moments of Y = W @ X, produced by the previous line search's
+    # fused pass (or the init pass at it == 0) — the iteration body
+    # never runs its own moments kernel.
+    moments: Any  # RawMoments
     it: jnp.ndarray  # i32
     n_iter_done: jnp.ndarray  # i32
     gradient_norm: jnp.ndarray
@@ -245,6 +256,64 @@ def data_loglik_delta(m_new, m_old, x, opts: CoreOptions, need_ysq: bool):
     return dll, dysq
 
 
+def data_fused_step(m_new, m_old, x, opts: CoreOptions, need_h: bool, need_ysq: bool):
+    """One line-search try + speculative next-iteration moments.
+
+    Returns ``(dll_means, dysq_means, RawMoments(of M_new @ X))`` in a
+    single streaming pass over X. The loss delta is evaluated per
+    element (see :func:`data_loglik_delta`); the moments are the raw
+    (sign-free) quantities of the CANDIDATE, so an accepted try hands
+    the next optimizer iteration its moment pass for free — the
+    standalone moments kernel runs only at initialization.
+    """
+    n, t = x.shape
+    dtype = x.dtype
+    inv_t = jnp.asarray(1.0 / t, dtype)
+
+    if opts.use_pallas:
+        from ..ops.pallas_kernels import rotated_fused_sums
+
+        interp = _interpret()
+
+        def local(x_local, mn, mo):
+            return rotated_fused_sums(
+                mn, mo, x_local, opts.density, need_h, need_ysq,
+                interpret=interp, precision=opts.kernel_precision,
+            )
+
+        if opts.data_sharding is not None:
+            dll, dysq, g, pm, h, ysq = _shard_mapped(
+                local, opts.data_sharding, x, m_new, m_old
+            )
+        else:
+            dll, dysq, g, pm, h, ysq = local(x, m_new, m_old)
+        return (
+            dll * inv_t,
+            dysq * inv_t,
+            RawMoments(g * inv_t, pm * inv_t, h * inv_t, ysq * inv_t),
+        )
+
+    y_new = _dot(m_new, x)
+    y_old = _dot(m_old, x)
+    psi, psi_d, ll_new = opts.density.score_der_loglik(y_new)
+    dll = jnp.mean(ll_new - opts.density.log_lik(y_old), axis=1)
+    g = _dot(psi, y_new.T) * inv_t
+    pm = jnp.mean(psi_d, axis=1)
+    if need_h:
+        ysq_new = y_new * y_new
+        h = _dot(psi_d, ysq_new.T) * inv_t
+    else:
+        h = jnp.zeros((n, n), dtype)
+    if need_ysq:
+        ysq_new_mean = jnp.mean(y_new * y_new, axis=1)
+        # Per-element subtraction, as in data_loglik_delta.
+        dysq = jnp.mean(y_new * y_new - y_old * y_old, axis=1)
+    else:
+        ysq_new_mean = jnp.zeros((n,), dtype)
+        dysq = jnp.zeros((n,), dtype)
+    return dll, dysq, RawMoments(g, pm, h, ysq_new_mean)
+
+
 def compute_loss(w, x, signs, opts: CoreOptions):
     """Negative log-likelihood objective of Y = W @ X (core.rs:39-85).
 
@@ -330,25 +399,26 @@ def regularize_hessian(h, h_off, lambda_min):
 
 def compute_direction(g, h, h_off, mem: LbfgsMemory, opts: CoreOptions):
     """L-BFGS two-loop recursion with the sparse-Hessian preconditioner
-    as the initial inverse-Hessian guess (lbfgs.rs:84-133)."""
+    as the initial inverse-Hessian guess (lbfgs.rs:84-133).
+
+    Both loops are unrolled (m is a static trace-time constant, default
+    7): a ``fori_loop`` over dynamically-indexed (m, N, N) gathers costs
+    ~1 ms/iteration of sequential tiny-op dispatch on TPU, while the
+    unrolled form is static slices XLA schedules as one fused chain.
+    Invalid slots (>= count) are masked with ``where``.
+    """
     m = mem.s_mem.shape[0]
     dtype = g.dtype
 
-    # Backward pass: newest (count-1) -> oldest (0).
-    def bwd(t, carry):
-        q, alphas = carry
-        i = mem.count - 1 - t
-        valid = i >= 0
-        i_c = jnp.maximum(i, 0)
-        s_i = mem.s_mem[i_c]
-        y_i = mem.y_mem[i_c]
-        r_i = mem.r_mem[i_c]
-        a = r_i * jnp.sum(s_i * q)
-        q_new = q - a * y_i
-        alphas = alphas.at[i_c].set(jnp.where(valid, a, alphas[i_c]))
-        return jnp.where(valid, q_new, q), alphas
-
-    q, alphas = lax.fori_loop(0, m, bwd, (g, jnp.zeros((m,), dtype)))
+    # Backward pass: newest (count-1) -> oldest (0). Slot j is valid
+    # iff j < count.
+    q = g
+    alphas = [None] * m
+    for j in range(m - 1, -1, -1):
+        valid = j < mem.count
+        a = mem.r_mem[j] * jnp.sum(mem.s_mem[j] * q)
+        alphas[j] = a
+        q = jnp.where(valid, q - a * mem.y_mem[j], q)
 
     if opts.ortho:
         z = q / h
@@ -357,16 +427,10 @@ def compute_direction(g, h, h_off, mem: LbfgsMemory, opts: CoreOptions):
         z = solve_hessian_system(h, h_off, q)
 
     # Forward pass: oldest (0) -> newest (count-1).
-    def fwd(i, z):
-        valid = i < mem.count
-        s_i = mem.s_mem[i]
-        y_i = mem.y_mem[i]
-        r_i = mem.r_mem[i]
-        beta = r_i * jnp.sum(y_i * z)
-        z_new = z + (alphas[i] - beta) * s_i
-        return jnp.where(valid, z_new, z)
-
-    z = lax.fori_loop(0, m, fwd, z)
+    for j in range(m):
+        valid = j < mem.count
+        beta = mem.r_mem[j] * jnp.sum(mem.y_mem[j] * z)
+        z = jnp.where(valid, z + (alphas[j] - beta) * mem.s_mem[j], z)
     return -z
 
 
@@ -379,15 +443,22 @@ def line_search(x, w, direction, signs, current_loss, ls_tries, opts: CoreOption
     per element inside a fused kernel, and the log-det term's
     cancellation is exact algebra —
     ``log|det(Tm W)| - log|det W| = log|det Tm|`` — so arbitrarily
-    small true decreases remain resolvable in f32. A rejected try reads
-    X once and writes nothing. On failure the returned (w, loss) are
-    from the *last tried* alpha while the returned step uses the
-    once-more-halved alpha — matching the reference exactly
-    (core.rs:117-149).
+    small true decreases remain resolvable in f32. On failure the
+    returned (w, loss) are from the *last tried* alpha while the
+    returned step uses the once-more-halved alpha — matching the
+    reference exactly (core.rs:117-149).
+
+    Every try runs the FUSED kernel: loss delta + raw moments of the
+    candidate in one pass over X. The returned moments always belong
+    to the returned w (accepted or last-tried), so the caller feeds
+    them straight into the next iteration — a rejected try costs one
+    extra N x N contraction of MXU time, accepted tries make the
+    per-iteration moments pass free.
     """
     n = w.shape[0]
     dtype = x.dtype
     eye = jnp.eye(n, dtype=dtype)
+    need_h = not opts.ortho
     need_ysq = opts.extended and not opts.ortho
 
     def try_alpha(alpha):
@@ -397,7 +468,7 @@ def line_search(x, w, direction, signs, current_loss, ls_tries, opts: CoreOption
             tm = eye + alpha * direction
         w_new = _dot(tm, w)
 
-        dll, dysq = data_loglik_delta(w_new, w, x, opts, need_ysq)
+        dll, dysq, moments = data_fused_step(w_new, w, x, opts, need_h, need_ysq)
         delta = jnp.sum(signs * dll)
         if need_ysq:
             delta = delta + 0.5 * jnp.sum(dysq)
@@ -410,29 +481,34 @@ def line_search(x, w, direction, signs, current_loss, ls_tries, opts: CoreOption
                 jnp.asarray(_SINGULAR_LOSS, dtype),
                 -log_abs_tm.astype(dtype),
             )
-        return w_new, delta
+        return w_new, delta, moments
 
     def cond(carry):
-        alpha, tries, success, _, _ = carry
+        alpha, tries, success, _, _, _ = carry
         return (~success) & (tries < ls_tries)
 
     def body(carry):
-        alpha, tries, _, _, _ = carry
-        w_new, delta = try_alpha(alpha)
+        alpha, tries, _, _, _, _ = carry
+        w_new, delta, moments = try_alpha(alpha)
         success = delta < 0
         next_alpha = jnp.where(success, alpha, alpha / 2.0)
-        return (next_alpha, tries + 1, success, w_new, delta)
+        return (next_alpha, tries + 1, success, w_new, delta, moments)
 
+    zero_moments = RawMoments(
+        jnp.zeros((n, n), dtype), jnp.zeros((n,), dtype),
+        jnp.zeros((n, n), dtype), jnp.zeros((n,), dtype),
+    )
     init = (
         jnp.asarray(1.0, dtype),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
         w,
         jnp.asarray(0.0, dtype),
+        zero_moments,
     )
-    alpha, _, success, w_new, delta = lax.while_loop(cond, body, init)
+    alpha, _, success, w_new, delta, moments = lax.while_loop(cond, body, init)
     step = direction * alpha
-    return success, w_new, current_loss + delta, step
+    return success, w_new, current_loss + delta, step, moments
 
 
 # ---------------------------------------------------------------------------
@@ -452,26 +528,32 @@ def _iteration_update(st: CoreState, x, g, h, h_off, signs, old_signs, sign_chan
 
     # Extended sign change: re-baseline the loss, flush memory
     # (core.rs:317-331). Singular here is a 1e15 penalty, not an error.
+    # A real lax.cond: the re-baseline is a full data pass (rotate +
+    # log-lik) and sign changes are rare — evaluating it eagerly and
+    # select-ing would cost every iteration an extra pass over X.
     if opts.extended:
-        def flush(mem):
+        def flush(_):
             new_loss = compute_loss(st.w, x, signs, opts)
             new_loss = jnp.where(
                 jnp.isfinite(new_loss), new_loss, st.loss.dtype.type(_SINGULAR_LOSS)
             )
-            return new_loss, _clear_memory(mem)
+            return new_loss, jnp.zeros_like(memory.count)
 
-        flushed_loss, flushed_mem = flush(memory)
-        current_loss = jnp.where(sign_change, flushed_loss, st.loss)
+        def keep(_):
+            return st.loss, memory.count
+
+        current_loss, mem_count_flushed = lax.cond(
+            sign_change, flush, keep, operand=None
+        )
         memory = LbfgsMemory(
-            memory.s_mem, memory.y_mem, memory.r_mem,
-            jnp.where(sign_change, flushed_mem.count, memory.count),
+            memory.s_mem, memory.y_mem, memory.r_mem, mem_count_flushed
         )
     else:
         current_loss = st.loss
 
     direction = compute_direction(g, h, h_off, memory, opts)
 
-    success, ls_w, ls_loss, ls_step = line_search(
+    success, ls_w, ls_loss, ls_step, ls_moments = line_search(
         x, st.w, direction, signs, current_loss,
         jnp.asarray(opts.ls_tries, jnp.int32), opts,
     )
@@ -480,16 +562,16 @@ def _iteration_update(st: CoreState, x, g, h, h_off, signs, old_signs, sign_chan
     # clear memory and retry with -G for 10 tries; take its result even
     # if it also fails.
     def with_fallback(_):
-        _, fb_w, fb_loss, fb_step = line_search(
+        _, fb_w, fb_loss, fb_step, fb_moments = line_search(
             x, st.w, -g, signs, current_loss,
             jnp.asarray(_FALLBACK_LS_TRIES, jnp.int32), opts,
         )
-        return fb_w, fb_loss, fb_step, jnp.zeros_like(memory.count)
+        return fb_w, fb_loss, fb_step, jnp.zeros_like(memory.count), fb_moments
 
     def without_fallback(_):
-        return ls_w, ls_loss, ls_step, memory.count
+        return ls_w, ls_loss, ls_step, memory.count, ls_moments
 
-    new_w, new_loss, step, mem_count = lax.cond(
+    new_w, new_loss, step, mem_count, new_moments = lax.cond(
         ~success, with_fallback, without_fallback, operand=None
     )
     memory = LbfgsMemory(memory.s_mem, memory.y_mem, memory.r_mem, mem_count)
@@ -516,6 +598,7 @@ def _iteration_update(st: CoreState, x, g, h, h_off, signs, old_signs, sign_chan
         g_old=g,
         prev_step=step,
         memory=memory,
+        moments=new_moments,
         it=st.it + 1,
         n_iter_done=st.it + 1,
         gradient_norm=gradient_norm,
@@ -524,13 +607,17 @@ def _iteration_update(st: CoreState, x, g, h, h_off, signs, old_signs, sign_chan
 
 
 def _iteration_body(st: CoreState, x, covariance, tol, lambda_min, opts: CoreOptions) -> CoreState:
-    """One full optimizer iteration (core.rs:211-391)."""
+    """One full optimizer iteration (core.rs:211-391).
+
+    The moments of Y = W @ X arrive in the carry: the previous line
+    search's fused pass computed them for the W it returned (the init
+    pass seeds iteration 0), so the body starts directly with the
+    N x N algebra.
+    """
     n = st.w.shape[0]
     dtype = x.dtype
 
-    need_h = not opts.ortho
-    need_ysq = opts.extended and not opts.ortho
-    moments = data_moments(st.w, x, opts, need_h, need_ysq)
+    moments = st.moments
     g = moments.g_raw
     pm0 = moments.pm_raw
 
@@ -608,6 +695,12 @@ def init_state(x, covariance, opts: CoreOptions):
     loss = compute_loss(w, x, signs, opts)
     initial_singular = loss >= _SINGULAR_LOSS
 
+    # Seed iteration 0's moments (every later iteration receives them
+    # from the line search's fused pass).
+    need_h = not opts.ortho
+    need_ysq = opts.extended and not opts.ortho
+    moments0 = data_moments(w, x, opts, need_h, need_ysq)
+
     if opts.extended:
         if opts.has_cov:
             c = covariance
@@ -633,6 +726,7 @@ def init_state(x, covariance, opts: CoreOptions):
         g_old=jnp.zeros((n, n), dtype),
         prev_step=jnp.zeros((n, n), dtype),
         memory=mem,
+        moments=moments0,
         it=jnp.asarray(0, jnp.int32),
         n_iter_done=jnp.asarray(0, jnp.int32),
         gradient_norm=jnp.asarray(1.0, dtype),

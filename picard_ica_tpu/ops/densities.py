@@ -36,6 +36,16 @@ class Density(Protocol):
         """Return ``(score, score_derivative)``, each shaped like ``y``."""
         ...
 
+    def score_der_loglik(self, y) -> Tuple:
+        """Return ``(score, score_derivative, log_lik)`` in one pass.
+
+        Used by the fused hot-loop kernels; implementations share the
+        transcendental subexpressions (one exp instead of two for
+        tanh/exp densities) — on TPU the VPU transcendentals are a
+        significant slice of the per-iteration time at large T.
+        """
+        ...
+
 
 @dataclasses.dataclass(frozen=True)
 class Tanh:
@@ -54,6 +64,17 @@ class Tanh:
         score = jnp.tanh(a * y)
         return score, a * (1.0 - score * score)
 
+    def score_der_loglik(self, y):
+        # Share e = exp(-2a|y|) between tanh and log1p:
+        #   tanh(a*y) = sign(y) * (1 - e) / (1 + e)
+        #   log_lik   = |y| + log1p(e) / a
+        a = self.alpha
+        abs_y = jnp.abs(y)
+        e = jnp.exp(-2.0 * a * abs_y)
+        t = (1.0 - e) / (1.0 + e)
+        score = jnp.sign(y) * t
+        return score, a * (1.0 - t * t), abs_y + jnp.log1p(e) / a
+
 
 @dataclasses.dataclass(frozen=True)
 class Exp:
@@ -71,6 +92,12 @@ class Exp:
         k = jnp.exp(-a / 2.0 * y_sq)
         return y * k, (1.0 - a * y_sq) * k
 
+    def score_der_loglik(self, y):
+        a = self.alpha
+        y_sq = y * y
+        k = jnp.exp(-a / 2.0 * y_sq)  # shared between all three outputs
+        return y * k, (1.0 - a * y_sq) * k, -k / a
+
 
 @dataclasses.dataclass(frozen=True)
 class Cube:
@@ -82,6 +109,10 @@ class Cube:
 
     def score_and_der(self, y):
         return y * y * y, 3.0 * y * y
+
+    def score_der_loglik(self, y):
+        y2 = y * y
+        return y2 * y, 3.0 * y2, y2 * y2 / 4.0
 
 
 class DensityType:

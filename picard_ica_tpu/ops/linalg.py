@@ -58,14 +58,26 @@ _EXPM_MAX_TERMS = 30  # math.rs:56
 _EXPM_TERM_TOL = 1e-16  # math.rs:57
 
 
+# Squarings handled by the unrolled (masked) chain; the data-dependent
+# tail loop beyond this is effectively never taken (norm > 2^16).
+_EXPM_UNROLLED_SQUARINGS = 16
+
+
 def matrix_exp(a):
     """Matrix exponential via scaling-and-squaring Taylor series.
 
     Mirrors the reference algorithm (math.rs:38-74) so line-search
     trajectories are comparable step-for-step: scale by 2^s with
     s = max(ceil(log2(max|A|)), 0), run <=30 Taylor terms with early
-    exit at 1e-16, then square s times. Jit-safe: data-dependent term
-    counts/squarings become ``lax.while_loop``s.
+    exit at 1e-16, then square s times.
+
+    TPU shape: the Taylor recurrence and the first 16 squarings are
+    UNROLLED with ``where`` masks instead of ``lax.while_loop``s — the
+    matrices are tiny (N x N), so the sequential dependence of a while
+    loop costs far more in per-step dispatch than the few masked spare
+    matmuls; masking reproduces the early-exit semantics bit-for-bit
+    (a term below 1e-16 is never added, a squaring past s is skipped).
+    Only the pathological s > 16 tail stays a while_loop.
     """
     n = a.shape[0]
     dtype = a.dtype
@@ -78,31 +90,35 @@ def matrix_exp(a):
     scale = jnp.exp2(s).astype(dtype)
     a_scaled = a / scale
 
-    def taylor_cond(carry):
-        k, _, term, term_norm = carry
-        return (k <= _EXPM_MAX_TERMS) & (term_norm >= _EXPM_TERM_TOL)
+    # Unrolled Taylor: term_k = term_{k-1} @ A / k, added while every
+    # previous term stayed >= the tolerance (the while_loop's early
+    # exit is monotone, so one running flag reproduces it).
+    result = eye
+    term = eye
+    active = jnp.asarray(True)
+    for k in range(1, _EXPM_MAX_TERMS + 1):
+        term_next = (term @ a_scaled) / dtype.type(k)
+        result = jnp.where(active, result + term_next, result)
+        term = jnp.where(active, term_next, term)
+        active = active & (jnp.max(jnp.abs(term_next)) >= _EXPM_TERM_TOL)
 
-    def taylor_body(carry):
-        k, result, term, _ = carry
-        term = (term @ a_scaled) / k.astype(dtype)
-        result = result + term
-        return k + 1, result, term, jnp.max(jnp.abs(term))
-
-    _, result, _, _ = lax.while_loop(
-        taylor_cond,
-        taylor_body,
-        (jnp.asarray(1, jnp.int32), eye, eye, jnp.asarray(jnp.inf, dtype)),
-    )
+    # Unrolled squarings (i < s), then a tail loop for absurd norms.
+    s_i32 = s.astype(jnp.int32)
+    for i in range(_EXPM_UNROLLED_SQUARINGS):
+        result = jnp.where(i < s_i32, result @ result, result)
 
     def square_cond(carry):
         i, _ = carry
-        return i < s.astype(jnp.int32)
+        return i < s_i32
 
     def square_body(carry):
         i, r = carry
         return i + 1, r @ r
 
-    _, result = lax.while_loop(square_cond, square_body, (jnp.asarray(0, jnp.int32), result))
+    _, result = lax.while_loop(
+        square_cond, square_body,
+        (jnp.asarray(_EXPM_UNROLLED_SQUARINGS, jnp.int32), result),
+    )
 
     return jnp.where(is_zero, eye, result)
 

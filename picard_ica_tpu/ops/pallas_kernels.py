@@ -44,6 +44,46 @@ from .densities import Density
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _dot_bf16x3(a, b, dims, acc):
+    """3-pass bf16 dot_general (the bf16_6x/HIGHEST scheme minus the
+    negligible lo x lo term — XLA's ``Precision.HIGH``, which Mosaic
+    does not support natively).
+
+    Splits each f32 operand into hi + lo bf16 halves (~16 mantissa
+    bits) and runs three MXU passes with f32 accumulation; the dropped
+    lo*lo term is O(2^-32) relative. Falls through to a plain HIGHEST
+    dot for f64 (CPU conformance runs), where bf16 splitting would
+    LOSE precision.
+
+    Measured on v5e (N=64, T=1M): currently SLOWER than the HIGHEST
+    path under Mosaic (the splits defeat its matmul pipelining at
+    these shapes) and the G noise floor (~3e-6) misses tol=1e-7 —
+    kept behind the "bf16x3" flag for future hardware/compiler
+    generations, not used by default.
+    """
+    if acc == jnp.float64:
+        return jax.lax.dot_general(a, b, dims, preferred_element_type=acc,
+                                   precision=_HI)
+    a_hi32 = a.astype(jnp.bfloat16).astype(jnp.float32)
+    b_hi32 = b.astype(jnp.bfloat16).astype(jnp.float32)
+    a_hi = a_hi32.astype(jnp.bfloat16)
+    b_hi = b_hi32.astype(jnp.bfloat16)
+    a_lo = (a - a_hi32).astype(jnp.bfloat16)
+    b_lo = (b - b_hi32).astype(jnp.bfloat16)
+
+    def d(p, q):
+        return jax.lax.dot_general(p, q, dims, preferred_element_type=jnp.float32)
+
+    return (d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)).astype(acc)
+
+
+def _kernel_dot(a, b, dims, acc, precision: str):
+    if precision == "bf16x3":
+        return _dot_bf16x3(a, b, dims, acc)
+    return jax.lax.dot_general(a, b, dims, preferred_element_type=acc,
+                               precision=_HI)
+
+
 def _tile_t(n: int, t: int) -> int:
     """Pick a T-tile: multiple of 128 lanes, VMEM-friendly vs N."""
     if t <= 512:
@@ -220,6 +260,121 @@ def rotated_loglik_sums(
         interpret=interpret,
     )(m.astype(dtype), x)
     return _reduce_partials(ll, dtype)[:, 0], _reduce_partials(ysq, dtype)[:, 0]
+
+
+def _rotated_fused_kernel(
+    m_new_ref, m_old_ref, x_ref, dll_ref, dysq_ref, g_ref, pm_ref, h_ref,
+    ysq_ref, *, density, need_h, need_ysq, t, bt, acc, precision
+):
+    """Line-search try + speculative moments in ONE read of the X tile.
+
+    Computes the loss delta of candidate M_new against M_old AND the
+    raw moments of Y_new = M_new @ X. When the try is accepted (the
+    common case: alpha = 1 succeeds), the next optimizer iteration's
+    moment pass is already done — the standalone moments kernel runs
+    only once, at initialization. Per accepted iteration: 3 MXU
+    contractions + 1 HBM read of X (vs 4 and 2 for separate
+    moments/delta passes), and the density's transcendental is
+    evaluated once for score/derivative/log-lik together.
+    """
+    i = pl.program_id(0)
+
+    x_t = x_ref[...]
+    if t % bt != 0:
+        x_t = jnp.where(_mask_cols(i, bt, t, x_t.shape), x_t, 0.0)
+
+    mm_dims = (((1,), (0,)), ((), ()))
+    y_new = _kernel_dot(m_new_ref[...], x_t, mm_dims, acc, precision)
+    y_old = _kernel_dot(m_old_ref[...], x_t, mm_dims, acc, precision)
+
+    psi, psi_d, ll_new = density.score_der_loglik(y_new)
+    ll_old = density.log_lik(y_old)
+    # Subtract per element BEFORE reducing (see rotated_loglik_delta_sums).
+    dll = ll_new - ll_old
+    if t % bt != 0:
+        mask = _mask_cols(i, bt, t, dll.shape)
+        dll = jnp.where(mask, dll, 0.0)   # log_lik(0) != 0
+        psi_d = jnp.where(mask, psi_d, 0.0)  # psi'(0) != 0
+
+    ct_dims = (((1,), (1,)), ((), ()))
+    dll_ref[0] = jnp.sum(dll, axis=1, keepdims=True)
+    g_ref[0] = _kernel_dot(psi, y_new, ct_dims, acc, precision)
+    pm_ref[0] = jnp.sum(psi_d, axis=1, keepdims=True)
+
+    if need_h or need_ysq:
+        ysq_new = y_new * y_new
+    if need_ysq:
+        dysq_ref[0] = jnp.sum(ysq_new - y_old * y_old, axis=1, keepdims=True)
+        ysq_ref[0] = jnp.sum(ysq_new, axis=1, keepdims=True)
+    else:
+        dysq_ref[0] = jnp.zeros_like(dysq_ref[0])
+        ysq_ref[0] = jnp.zeros_like(ysq_ref[0])
+    if need_h:
+        h_ref[0] = _kernel_dot(psi_d, ysq_new, ct_dims, acc, precision)
+    else:
+        h_ref[0] = jnp.zeros_like(h_ref[0])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("density", "need_h", "need_ysq", "interpret", "precision"),
+)
+def rotated_fused_sums(
+    m_new, m_old, x, density: Density, need_h: bool, need_ysq: bool,
+    interpret: bool = False, precision: str = "f32",
+):
+    """Unnormalized fused line-search-try + moments sums.
+
+    Returns ``(dll, dysq, g, pm, h, ysq)`` where dll/dysq are the
+    per-row sums of ``log_lik(M_new X) - log_lik(M_old X)`` (and the
+    Y^2 delta), and g/pm/h/ysq are the raw moment sums of
+    ``Y = M_new @ X`` as in :func:`rotated_moments_sums`.
+    """
+    n, t = x.shape
+    bt = _tile_t(n, t)
+    n_tiles = pl.cdiv(t, bt)
+    dtype = x.dtype
+
+    kernel = functools.partial(
+        _rotated_fused_kernel, density=density, need_h=need_h,
+        need_ysq=need_ysq, t=t, bt=bt, acc=dtype, precision=precision,
+    )
+
+    dll, dysq, g, pm, h, ysq = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
+            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
+            jax.ShapeDtypeStruct((n_tiles, n, n), dtype),
+            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
+            jax.ShapeDtypeStruct((n_tiles, n, n), dtype),
+            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
+        ],
+        interpret=interpret,
+    )(m_new.astype(dtype), m_old.astype(dtype), x)
+
+    return (
+        _reduce_partials(dll, dtype)[:, 0],
+        _reduce_partials(dysq, dtype)[:, 0],
+        _reduce_partials(g, dtype),
+        _reduce_partials(pm, dtype)[:, 0],
+        _reduce_partials(h, dtype),
+        _reduce_partials(ysq, dtype)[:, 0],
+    )
 
 
 def _rotated_delta_kernel(

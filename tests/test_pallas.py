@@ -116,6 +116,48 @@ def test_full_core_loop_pallas_vs_xla(mode_kw):
     )
 
 
+@pytest.mark.parametrize("density", [Tanh(), Exp(0.5), Cube()], ids=str)
+@pytest.mark.parametrize("t", [255, 1000])  # partial + exact tiles
+def test_rotated_fused_match_dense(density, t):
+    """The fused line-search+moments kernel against plain NumPy."""
+    from picard_ica_tpu.ops.pallas_kernels import rotated_fused_sums
+
+    n = 4
+    rng = np.random.default_rng(6)
+    m_old = jnp.asarray(np.eye(n) + 0.1 * rng.standard_normal((n, n)))
+    m_new = jnp.asarray(np.asarray(m_old) + 0.05 * rng.standard_normal((n, n)))
+    x = jnp.asarray(rng.standard_normal((n, t)))
+
+    dll, dysq, g, pm, h, ysq = rotated_fused_sums(
+        m_new, m_old, x, density, True, True, interpret=True
+    )
+
+    y_new = np.asarray(m_new) @ np.asarray(x)
+    y_old = np.asarray(m_old) @ np.asarray(x)
+    ll_new = np.asarray(density.log_lik(jnp.asarray(y_new)))
+    ll_old = np.asarray(density.log_lik(jnp.asarray(y_old)))
+    psi, psi_d = (np.asarray(v) for v in density.score_and_der(jnp.asarray(y_new)))
+
+    np.testing.assert_allclose(np.asarray(dll), (ll_new - ll_old).sum(axis=1), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dysq), (y_new**2 - y_old**2).sum(axis=1), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(g), psi @ y_new.T, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(pm), psi_d.sum(axis=1), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(h), psi_d @ (y_new * y_new).T, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ysq), (y_new * y_new).sum(axis=1), rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("density", [Tanh(), Exp(0.7), Cube()], ids=str)
+def test_score_der_loglik_consistent(density):
+    """The fused density method equals its three separate primitives."""
+    y = jnp.asarray(np.linspace(-4, 4, 257).reshape(1, -1))
+    psi_f, psi_d_f, ll_f = density.score_der_loglik(y)
+    psi, psi_d = density.score_and_der(y)
+    ll = density.log_lik(y)
+    np.testing.assert_allclose(np.asarray(psi_f), np.asarray(psi), rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(psi_d_f), np.asarray(psi_d), rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(ll_f), np.asarray(ll), rtol=1e-12, atol=1e-14)
+
+
 def test_data_moments_dispatch_equivalence():
     rng = np.random.default_rng(4)
     w = jnp.asarray(rng.standard_normal((5, 5)) * 0.4)
