@@ -1,0 +1,296 @@
+"""Full benchmark suite for picard_ica_tpu.
+
+Reproduces the reference's criterion benchmark grid (reference:
+benches/benchmarks.rs:37-141) plus this project's BASELINE.json config
+matrix, on whatever backend JAX selects (the real TPU chip under the
+driver; CPU with --cpu).
+
+Groups (mirroring benches/benchmarks.rs):
+  * picard_default        — full `fit` wall-time, T in {1k,5k,10k} x N in {10,50,100}
+  * picard_n_components   — N=50, T=5k, k in {5,10,25,50}, max_iter=100
+  * picard_ortho          — ortho in {false,true}, k=25, N=50, T=5k
+  * picard_extended       — extended in {false,true}, k=25, N=50, T=5k
+
+BASELINE.json configs (grad-loop samples/s/chip + iters-to-tol + Amari):
+  1. 8 x 10k Laplace, tanh, whitened (the criterion case)
+  2. Picard-O 32 x 100k super-Gaussian
+  3. extended 64 x 500k mixed sub+super, cube + tanh
+  4. JADE(50) warm start -> Picard, 128 x 1M distinct-kurtosis
+  5. EEG/MEG-scale 256 x T extended+ortho (T scaled to single-chip HBM
+     here; the multi-host sharding path itself is exercised by
+     __graft_entry__.dryrun_multichip and tests/test_sharding.py)
+
+Data: the reference harness's LCG Laplace generator (bit-identical
+stream via the native C++ module) so timings are measured on the same
+mixtures the Rust criterion benches use.
+
+Usage:
+    python benchmarks/suite.py [--quick] [--cpu] [--json OUT.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Runnable from anywhere: the package lives at the repo root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _fit_once(x, config):
+    import jax
+
+    from picard_ica_tpu import Picard
+
+    result = Picard.fit(x, config)
+    jax.block_until_ready(result.sources)
+    return result
+
+
+def _time_fit(x, config, reps: int) -> tuple:
+    """(best wall seconds, result) over ``reps`` runs (first run warms
+    the compile cache and is excluded)."""
+    result = _fit_once(x, config)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        result = _fit_once(x, config)
+        best = min(best, time.perf_counter() - t0)
+    return best, result
+
+
+def _bench_data(n, t, seed=42):
+    from picard_ica_tpu.utils.datagen import generate_bench_data
+
+    return generate_bench_data(n, t, seed=seed).astype(np.float32)
+
+
+def _mixed_data(n, t, seed=42):
+    from picard_ica_tpu.utils.datagen import generate_mixed_kurtosis_data
+
+    _, mixing, x = generate_mixed_kurtosis_data(n, t, seed)
+    return x.astype(np.float32), mixing
+
+
+def group_criterion_grid(records, reps, quick):
+    """benches/benchmarks.rs:37-56 — full default fit."""
+    from picard_ica_tpu import PicardConfig
+
+    sizes = [1000, 5000, 10000]
+    comps = [10, 50] if quick else [10, 50, 100]
+    for t in sizes:
+        for n in comps:
+            x = _bench_data(n, t)
+            cfg = PicardConfig(random_state=42, max_iter=500, tol=1e-4)
+            secs, res = _time_fit(x, cfg, reps)
+            records.append({
+                "group": "picard_default", "n": n, "t": t,
+                "wall_s": secs, "iters": res.n_iterations,
+                "converged": res.converged,
+            })
+            print(f"picard_default n={n} t={t}: {secs*1e3:.1f} ms "
+                  f"({res.n_iterations} iters)", file=sys.stderr)
+
+
+def group_n_components(records, reps):
+    """benches/benchmarks.rs:58-80."""
+    from picard_ica_tpu import PicardConfig
+
+    n, t = 50, 5000
+    x = _bench_data(n, t)
+    for k in [5, 10, 25, 50]:
+        cfg = PicardConfig(n_components=k, max_iter=100, random_state=42, tol=1e-4)
+        secs, res = _time_fit(x, cfg, reps)
+        records.append({
+            "group": "picard_n_components", "n": n, "t": t, "k": k,
+            "wall_s": secs, "iters": res.n_iterations,
+        })
+        print(f"picard_n_components k={k}: {secs*1e3:.1f} ms", file=sys.stderr)
+
+
+def group_ortho(records, reps):
+    """benches/benchmarks.rs:82-104."""
+    from picard_ica_tpu import PicardConfig
+
+    n, t = 50, 5000
+    x = _bench_data(n, t)
+    for ortho in [False, True]:
+        cfg = PicardConfig(n_components=25, ortho=ortho, max_iter=100,
+                           random_state=42, tol=1e-4)
+        secs, res = _time_fit(x, cfg, reps)
+        records.append({
+            "group": "picard_ortho", "ortho": ortho,
+            "wall_s": secs, "iters": res.n_iterations,
+        })
+        print(f"picard_ortho ortho={ortho}: {secs*1e3:.1f} ms", file=sys.stderr)
+
+
+def group_extended(records, reps):
+    """benches/benchmarks.rs:106-128."""
+    from picard_ica_tpu import PicardConfig
+
+    n, t = 50, 5000
+    x = _bench_data(n, t)
+    for extended in [False, True]:
+        cfg = PicardConfig(n_components=25, extended=extended, max_iter=100,
+                           random_state=42, tol=1e-4)
+        secs, res = _time_fit(x, cfg, reps)
+        records.append({
+            "group": "picard_extended", "extended": extended,
+            "wall_s": secs, "iters": res.n_iterations,
+        })
+        print(f"picard_extended ext={extended}: {secs*1e3:.1f} ms", file=sys.stderr)
+
+
+def _core_throughput(x_np, n, tol, max_iter, opts_kw, reps):
+    """Grad-loop samples/s of the jitted core on whitened data."""
+    import jax
+    import jax.numpy as jnp
+
+    from picard_ica_tpu.models.core import CoreOptions, run_core_jit
+    from picard_ica_tpu.ops.whitening import center, whiten
+
+    xc, _ = center(jnp.asarray(x_np))
+    xw = whiten(xc, n).data
+    jax.block_until_ready(xw)
+    t = xw.shape[1]
+
+    opts = CoreOptions(**opts_kw)
+    cov = jnp.eye(n, dtype=xw.dtype) if opts.has_cov else jnp.zeros((n, n), xw.dtype)
+    res = run_core_jit(xw, cov, tol, 0.01, max_iter, opts)
+    jax.block_until_ready(res)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        res = run_core_jit(xw, cov, tol, 0.01, max_iter, opts)
+        jax.block_until_ready(res)
+        best = min(best, time.perf_counter() - t0)
+    iters = int(res.n_iterations)
+    return {
+        "samples_per_s": t * iters / best,
+        "iters": iters,
+        "converged": bool(res.converged),
+        "gradient_norm": float(res.gradient_norm),
+        "wall_s": best,
+    }
+
+
+def group_baseline_configs(records, reps, quick):
+    """The five BASELINE.json configs."""
+    import jax
+
+    from picard_ica_tpu import Picard, PicardConfig
+    from picard_ica_tpu.ops.densities import Tanh
+    from picard_ica_tpu.utils.datagen import _lcg_stream, _lcg_uniform
+    from picard_ica_tpu.utils.metrics import amari_distance
+
+    on_tpu = jax.default_backend() == "tpu"
+    tol = 1e-7 if on_tpu else 1e-7  # fused f32 kernels reach 1e-7 at bench N/T
+
+    def mixing_of(n, t, seed=42):
+        states, state = _lcg_stream(seed, n * t)
+        states, _ = _lcg_stream(state, n * n)
+        return _lcg_uniform(states).reshape(n, n) - 0.5
+
+    # Config 1: 8 x 10k, full fit + Amari vs ground truth.
+    n, t = 8, 10_000
+    x = _bench_data(n, t)
+    cfg = PicardConfig(random_state=42, tol=1e-4)
+    secs, res = _time_fit(x, cfg, reps)
+    amari = amari_distance(np.asarray(res.full_unmixing()), mixing_of(n, t))
+    records.append({
+        "group": "baseline_1_small_fit", "n": n, "t": t, "wall_s": secs,
+        "iters": res.n_iterations, "amari_vs_truth": amari,
+    })
+    print(f"baseline 1 (8x10k fit): {secs*1e3:.1f} ms amari={amari:.2e}",
+          file=sys.stderr)
+
+    core_kw = dict(density=Tanh(), ortho=True, extended=True, has_cov=True,
+                   m=7, ls_tries=10, use_pallas=on_tpu)
+
+    # Config 2: Picard-O 32 x 100k.
+    n, t = 32, 100_000
+    r = _core_throughput(_bench_data(n, t), n, tol, 200, core_kw, reps)
+    records.append({"group": "baseline_2_picard_o", "n": n, "t": t, **r})
+    print(f"baseline 2 (32x100k): {r['samples_per_s']:.3e} samples/s "
+          f"({r['iters']} iters, gnorm {r['gradient_norm']:.1e})", file=sys.stderr)
+
+    # Config 3: extended 64 x 500k mixed sub+super.
+    n, t = 64, 500_000
+    x, mixing = _mixed_data(n, t)
+    r = _core_throughput(x, n, tol, 200, core_kw, reps)
+    records.append({"group": "baseline_3_extended_mixed", "n": n, "t": t, **r})
+    print(f"baseline 3 (64x500k ext): {r['samples_per_s']:.3e} samples/s "
+          f"({r['iters']} iters)", file=sys.stderr)
+
+    # Config 4: JADE(50) warm start -> Picard, 128 x 1M.
+    n, t = (64, 200_000) if quick else (128, 1_000_000)
+    x, mixing = _mixed_data(n, t, seed=7)
+    cfg = PicardConfig(jade_it=50, random_state=0, tol=1e-4, max_iter=200)
+    secs, res = _time_fit(x, cfg, 1)
+    amari = amari_distance(np.asarray(res.full_unmixing()), mixing)
+    records.append({
+        "group": "baseline_4_jade_warm", "n": n, "t": t, "wall_s": secs,
+        "iters": res.n_iterations, "amari_vs_truth": amari,
+    })
+    print(f"baseline 4 (JADE->{n}x{t}): {secs:.2f} s amari={amari:.2e}",
+          file=sys.stderr)
+
+    # Config 5: EEG/MEG-scale 256 x T, extended+ortho. T picked for
+    # single-chip HBM (f32 X at 256 x 10M = 10.2 GB; we run 2M/chip
+    # here and the samples axis shards linearly across chips).
+    n, t = (128, 500_000) if quick else (256, 2_000_000)
+    r = _core_throughput(_bench_data(n, t), n, tol, 60, core_kw, reps=1)
+    records.append({"group": "baseline_5_eeg_scale", "n": n, "t": t, **r})
+    print(f"baseline 5 ({n}x{t} ext+ortho): {r['samples_per_s']:.3e} samples/s "
+          f"({r['iters']} iters)", file=sys.stderr)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="smaller grid")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--json", default=None, help="write records to this file")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
+          file=sys.stderr)
+
+    records = []
+    t0 = time.perf_counter()
+    group_criterion_grid(records, args.reps, args.quick)
+    group_n_components(records, args.reps)
+    group_ortho(records, args.reps)
+    group_extended(records, args.reps)
+    group_baseline_configs(records, args.reps, args.quick)
+    total = time.perf_counter() - t0
+
+    out = {
+        "backend": jax.default_backend(),
+        "total_wall_s": total,
+        "records": records,
+    }
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=2, default=float)
+        print(f"wrote {args.json}", file=sys.stderr)
+    else:
+        json.dump(out, sys.stdout, indent=2, default=float)
+        print()
+
+
+if __name__ == "__main__":
+    main()

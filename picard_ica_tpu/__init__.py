@@ -40,7 +40,8 @@ from .ops.densities import Cube, Density, DensityType, Exp, Tanh
 from .results import PicardResult
 from .solver import Picard
 
-from . import ops, parallel, utils  # noqa: E402  (public subpackages)
+from . import checkpoint, ops, parallel, utils  # noqa: E402  (public subpackages)
+from .checkpoint import load_result, resume_config, save_result
 
 __version__ = "0.1.0"
 
@@ -63,4 +64,8 @@ __all__ = [
     "ops",
     "parallel",
     "utils",
+    "checkpoint",
+    "save_result",
+    "load_result",
+    "resume_config",
 ]

@@ -1,0 +1,90 @@
+"""Checkpoint / resume for fitted Picard models.
+
+The reference has no persistence at all (SURVEY.md §5 — its nearest
+analog is re-seeding a run through ``w_init``). Here a fitted
+:class:`~picard_ica_tpu.results.PicardResult` round-trips through a
+single ``.npz`` file, and :func:`resume_config` turns a saved result
+into the warm start for a continued run (e.g. fitting further on new
+data from the same sources, or tightening the tolerance):
+
+    result = Picard.fit(x, config)
+    save_result("fit.npz", result)
+    ...
+    prev = load_result("fit.npz")
+    cfg2 = resume_config(prev, config.replace(tol=1e-6))
+    result2 = Picard.fit(x, cfg2)   # starts at the previous solution
+
+Arrays are stored as NumPy (host) arrays; loading returns NumPy arrays
+that any subsequent ``fit``/``transform`` call moves back onto the
+device mesh as needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import PicardConfig
+from .results import PicardResult
+
+_FORMAT_VERSION = 1
+
+
+def save_result(path, result: PicardResult, include_sources: bool = True) -> None:
+    """Serialize a fit result to ``path`` (.npz).
+
+    ``include_sources=False`` drops the (n_components, n_samples)
+    sources matrix — for large T the unmixing matrices are what a
+    resume needs and the sources can be recomputed with ``transform``.
+    """
+    payload = {
+        "format_version": np.asarray(_FORMAT_VERSION),
+        "unmixing": np.asarray(result.unmixing),
+        "n_iterations": np.asarray(result.n_iterations),
+        "converged": np.asarray(result.converged),
+        "gradient_norm": np.asarray(result.gradient_norm),
+    }
+    if include_sources:
+        payload["sources"] = np.asarray(result.sources)
+    if result.whitening is not None:
+        payload["whitening"] = np.asarray(result.whitening)
+    if result.mean is not None:
+        payload["mean"] = np.asarray(result.mean)
+    if result.signs is not None:
+        payload["signs"] = np.asarray(result.signs)
+    with open(path, "wb") as f:
+        np.savez(f, **payload)
+
+
+def load_result(path) -> PicardResult:
+    """Load a result saved by :func:`save_result`."""
+    with np.load(path) as z:
+        version = int(z["format_version"])
+        if version > _FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint format {version} is newer than supported "
+                f"({_FORMAT_VERSION})"
+            )
+        return PicardResult(
+            whitening=z["whitening"] if "whitening" in z else None,
+            unmixing=z["unmixing"],
+            sources=z["sources"] if "sources" in z else None,
+            mean=z["mean"] if "mean" in z else None,
+            n_iterations=int(z["n_iterations"]),
+            converged=bool(z["converged"]),
+            gradient_norm=float(z["gradient_norm"]),
+            signs=z["signs"] if "signs" in z else None,
+        )
+
+
+def resume_config(previous: PicardResult, config: PicardConfig) -> PicardConfig:
+    """Derive a config that warm-starts from ``previous``'s solution.
+
+    Sets ``w_init`` to the previous unmixing matrix and clears any
+    JADE/FastICA warm start (they would overwrite it). The data passed
+    to the resumed ``fit`` must have the same n_components.
+    """
+    return config.replace(
+        w_init=np.asarray(previous.unmixing),
+        jade_it=None,
+        fastica_it=None,
+    )

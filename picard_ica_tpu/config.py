@@ -46,6 +46,10 @@ class PicardConfig:
     # TPU-native extension: use the fused Pallas data-axis kernels.
     # None = auto (on when running on TPU).
     use_pallas: Optional[bool] = None
+    # Escalate non-convergence to NotConvergedError instead of the
+    # reference's warn-and-return (solver.rs:171-177 semantics stay the
+    # default; see errors.NotConvergedError).
+    raise_on_no_convergence: bool = False
 
     @staticmethod
     def builder() -> "ConfigBuilder":
@@ -151,6 +155,10 @@ class ConfigBuilder:
 
     def use_pallas(self, use_pallas: bool) -> "ConfigBuilder":
         self._kwargs["use_pallas"] = use_pallas
+        return self
+
+    def raise_on_no_convergence(self, raise_: bool) -> "ConfigBuilder":
+        self._kwargs["raise_on_no_convergence"] = raise_
         return self
 
     def build(self) -> PicardConfig:

@@ -12,11 +12,13 @@ Same math as the reference (src/jade.rs) re-architected for TPU:
   * The reference recomputes each Givens angle from the *original*
     cumulants through the current V, an O(P N^2) block build per pair
     (jade.rs:148-159). We maintain the rotated tensor R_m = V^T Q_m V
-    in the carry and conjugate it by each Givens rotation in O(P N)
-    — algebraically identical, verified in tests against a direct
-    recompute.
-
-Sweep order over pairs (p < q, lexicographic) matches jade.rs:44-52.
+    in the carry and conjugate it per round — algebraically identical,
+    verified in tests against a direct recompute.
+  * The reference sweeps pairs sequentially in lexicographic order
+    (jade.rs:44-52); here a sweep is N-1 round-robin steps of N/2
+    DISJOINT planes rotated together as one batched MXU conjugation
+    (see _jacobi_sweeps for why the sequential order is untenable on
+    TPU at N >= 64).
 """
 
 from __future__ import annotations
@@ -43,25 +45,43 @@ def _pair_indices(n: int):
     return np.asarray(ps, np.int32), np.asarray(qs, np.int32)
 
 
-def _sweep_pairs(n: int):
-    """All (p, q) with p < q in the reference's sweep order (jade.rs:44-45)."""
-    ps, qs = [], []
-    for p in range(n):
-        for q in range(p + 1, n):
-            ps.append(p)
-            qs.append(q)
-    return np.asarray(ps, np.int32), np.asarray(qs, np.int32)
+def _round_robin_schedule(n: int):
+    """Round-robin tournament pairing: (n-1 rounds) x (n/2 disjoint
+    pairs) covering every (p, q) pair exactly once per sweep.
 
-
-def compute_cumulant_matrices(x, chunk_size: int = 4096):
-    """Symmetrized cumulant matrices for all pairs i <= j, shape (P, N, N).
-
-    Assumes whitened input, i.e. E[x_a x_b] = delta_ab, exactly like the
-    reference (jade.rs:83-86).
+    Returns ``(p_idx, q_idx, valid)`` arrays of shape (rounds, n//2+).
+    For odd n a phantom player is added; its pairs are marked invalid
+    (rotated by the identity).
     """
+    m = n if n % 2 == 0 else n + 1
+    players = list(range(m))
+    p_rounds, q_rounds, valid_rounds = [], [], []
+    for _ in range(m - 1):
+        ps, qs, valids = [], [], []
+        for i in range(m // 2):
+            a, b = players[i], players[m - 1 - i]
+            p, q = min(a, b), max(a, b)
+            ok = q < n  # phantom = m-1 when n is odd
+            ps.append(p if ok else 0)
+            qs.append(q if ok else 0)
+            valids.append(ok)
+        p_rounds.append(ps)
+        q_rounds.append(qs)
+        valid_rounds.append(valids)
+        players = [players[0], players[-1]] + players[1:-1]
+    return (
+        np.asarray(p_rounds, np.int32),
+        np.asarray(q_rounds, np.int32),
+        np.asarray(valid_rounds, bool),
+    )
+
+
+def _pair_product_gram(x, chunk_size: int):
+    """Gram of pair products: ``sum_t (x_i x_j)_t (x_k x_l)_t`` as an
+    (N^2, N^2) matrix, accumulated over T chunks so the N^2 x chunk
+    intermediate stays VMEM/HBM-friendly."""
     n, t = x.shape
     dtype = x.dtype
-
     chunk = min(chunk_size, t)
     n_chunks = -(-t // chunk)
     pad = n_chunks * chunk - t
@@ -73,6 +93,40 @@ def compute_cumulant_matrices(x, chunk_size: int = 4096):
         return acc + jnp.dot(z, z.T, preferred_element_type=dtype), None
 
     gram, _ = lax.scan(accumulate, jnp.zeros((n * n, n * n), dtype), xc)
+    return gram
+
+
+def compute_cumulant_matrices(x, chunk_size: int = 4096, data_sharding=None):
+    """Symmetrized cumulant matrices for all pairs i <= j, shape (P, N, N).
+
+    Assumes whitened input, i.e. E[x_a x_b] = delta_ab, exactly like the
+    reference (jade.rs:83-86). With ``data_sharding`` the Gram is an
+    explicit per-shard partial + psum over the samples axis (SURVEY.md
+    §2.3's JADE row): each shard runs the chunked local accumulation,
+    one (N^2, N^2) all-reduce rides ICI.
+    """
+    n, t = x.shape
+    dtype = x.dtype
+
+    if data_sharding is not None:
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            shard_map = jax.shard_map
+        except AttributeError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+
+        mesh = data_sharding.mesh
+        axis = data_sharding.spec[1]
+
+        def local(x_local):
+            return lax.psum(_pair_product_gram(x_local, chunk_size), axis)
+
+        gram = shard_map(
+            local, mesh=mesh, in_specs=P(None, axis), out_specs=P()
+        )(x)
+    else:
+        gram = _pair_product_gram(x, chunk_size)
 
     pair_i, pair_j = _pair_indices(n)
     p_count = pair_i.shape[0]
@@ -94,61 +148,77 @@ def compute_cumulant_matrices(x, chunk_size: int = 4096):
 
 
 def _jacobi_sweeps(cumulants, n: int, max_iter: int, tol, verbose: bool):
-    """Joint diagonalization by Jacobi/Givens sweeps (jade.rs:40-66)."""
+    """Joint diagonalization by parallel-order Jacobi sweeps.
+
+    Same objective and Givens-angle formula as the reference
+    (jade.rs:137-185), re-ordered for TPU: instead of the reference's
+    N(N-1)/2 *sequential* per-pair rotations per sweep — which on TPU
+    degenerates into ~12 tiny gather/scatter ops per pair and is
+    dispatch-bound (and watchdog-killed at N >= 64) — each sweep is
+    N-1 round-robin steps that rotate N/2 DISJOINT pairs at once.
+    Disjoint-plane rotations commute, so each step is one orthogonal
+    block-rotation matrix G and the update is two batched MXU matmuls:
+    R <- G^T R G over all P cumulant matrices, V <- V G. Cyclic and
+    parallel pair orders share the Jacobi convergence guarantee; they
+    differ only in trajectory (the warm start's output feeds Picard
+    either way; tests verify off-diagonal decay and separation).
+
+    NOTE — deliberate fix vs the reference: jade.rs:188-196 applies the
+    rotation [[c, s], [-s, c]], the *descent* direction for the angle
+    formula at jade.rs:174-179; the mismatch makes the reference's
+    sweeps oscillate instead of diagonalizing (its test suite only
+    checks orthogonality of the output, jade.rs:246-255, so the defect
+    is invisible there). Here V <- V G with G = [[c, -s], [s, c]] on
+    each (p, q) plane, which maximizes the joint-diagonality objective.
+    """
     dtype = cumulants.dtype
-    sweep_p, sweep_q = _sweep_pairs(n)
-    sweep_p = jnp.asarray(sweep_p)
-    sweep_q = jnp.asarray(sweep_q)
-    n_pairs = sweep_p.shape[0]
+    p_sched, q_sched, valid_sched = _round_robin_schedule(n)
+    p_sched = jnp.asarray(p_sched)
+    q_sched = jnp.asarray(q_sched)
+    valid_sched = jnp.asarray(valid_sched)
+    n_rounds = p_sched.shape[0]
+    rows = jnp.arange(n)
 
-    def pair_body(t_idx, carry):
+    def round_body(t_idx, carry):
         v, r, max_theta = carry
-        p = sweep_p[t_idx]
-        q = sweep_q[t_idx]
+        p = p_sched[t_idx]          # (n//2,) disjoint plane indices
+        q = q_sched[t_idx]
+        valid = valid_sched[t_idx]
 
-        # 2x2 objective accumulated over all rotated cumulants
-        # (jade.rs:144-167); R already holds V^T Q V.
-        h_pq = r[:, p, q] + r[:, q, p]
+        # 2x2 objective per pair, accumulated over all rotated
+        # cumulants (jade.rs:144-167); R holds V^T Q V.
+        h_pq = r[:, p, q] + r[:, q, p]          # (P, n//2)
         h_ppqq = r[:, p, p] - r[:, q, q]
-        g00 = jnp.sum(h_pq * h_pq)
-        g01 = jnp.sum(h_pq * h_ppqq)
-        g11 = jnp.sum(h_ppqq * h_ppqq)
+        g00 = jnp.sum(h_pq * h_pq, axis=0)
+        g01 = jnp.sum(h_pq * h_ppqq, axis=0)
+        g11 = jnp.sum(h_ppqq * h_ppqq, axis=0)
 
         diff = g11 - g00
         near_zero = (jnp.abs(g01) < _ANGLE_EPS) & (jnp.abs(diff) < _ANGLE_EPS)
         angle = jnp.where(
-            near_zero, jnp.asarray(0.0, dtype), 0.25 * jnp.arctan2(2.0 * g01, diff)
+            valid & ~near_zero,
+            0.25 * jnp.arctan2(2.0 * g01, diff),
+            jnp.asarray(0.0, dtype),
         )
         c = jnp.cos(angle)
         s = jnp.sin(angle)
 
-        # V <- V G(p, q) with G = [[c, -s], [s, c]] on the (p, q) plane.
-        #
-        # NOTE — deliberate fix vs the reference: jade.rs:188-196 applies
-        # the rotation [[c, s], [-s, c]], which is the *descent* direction
-        # for the angle formula at jade.rs:174-179; the mismatch makes the
-        # reference's sweeps oscillate instead of diagonalizing (its test
-        # suite only checks orthogonality of the output, jade.rs:246-255,
-        # so the defect is invisible there). With this orientation the
-        # sweeps maximize the joint-diagonality objective and converge in
-        # a handful of sweeps; tests/test_jade.py verifies both the
-        # off-diagonal decay and actual source separation.
-        vp = v[:, p]
-        vq = v[:, q]
-        v = v.at[:, p].set(c * vp + s * vq)
-        v = v.at[:, q].set(-s * vp + c * vq)
+        # One orthogonal block-rotation for all planes of this round:
+        # diag gets c at p and q (1 elsewhere), off-diag gets +/- s.
+        # Built with .add so an invalid (phantom) pair — parked at
+        # p = q = 0 with c = 1, s = 0 — contributes exactly nothing
+        # instead of colliding with a real plane's scatter.
+        diag = jnp.ones((n,), dtype).at[p].add(c - 1.0).at[q].add(c - 1.0)
+        g = jnp.zeros((n, n), dtype).at[rows, rows].set(diag)
+        g = g.at[q, p].add(s).at[p, q].add(-s)
 
-        # R <- G^T R G, rows then columns, for every cumulant matrix.
-        rp = r[:, p, :]
-        rq = r[:, q, :]
-        r = r.at[:, p, :].set(c * rp + s * rq)
-        r = r.at[:, q, :].set(-s * rp + c * rq)
-        cp = r[:, :, p]
-        cq = r[:, :, q]
-        r = r.at[:, :, p].set(c * cp + s * cq)
-        r = r.at[:, :, q].set(-s * cp + c * cq)
+        hi = jax.lax.Precision.HIGHEST
+        v = jnp.dot(v, g, precision=hi)
+        # R <- G^T R G, batched over the P cumulant matrices.
+        rg = jnp.einsum("pjk,kl->pjl", r, g, precision=hi)
+        r = jnp.einsum("ji,pjl->pil", g, rg, precision=hi)
 
-        return v, r, jnp.maximum(max_theta, jnp.abs(angle))
+        return v, r, jnp.maximum(max_theta, jnp.max(jnp.abs(angle)))
 
     def sweep_cond(carry):
         _, _, sweep, last_max = carry
@@ -157,7 +227,7 @@ def _jacobi_sweeps(cumulants, n: int, max_iter: int, tol, verbose: bool):
     def sweep_body(carry):
         v, r, sweep, _ = carry
         v, r, max_theta = lax.fori_loop(
-            0, n_pairs, pair_body, (v, r, jnp.asarray(0.0, dtype))
+            0, n_rounds, round_body, (v, r, jnp.asarray(0.0, dtype))
         )
         if verbose:
             jax.debug.print(
@@ -171,17 +241,20 @@ def _jacobi_sweeps(cumulants, n: int, max_iter: int, tol, verbose: bool):
     return v, n_sweeps
 
 
-def jade(x, max_iter: int, tol: float = 1e-6, verbose: bool = False):
+def jade(x, max_iter: int, tol: float = 1e-6, verbose: bool = False,
+         data_sharding=None):
     """Run JADE on whitened data; returns (W, min_eig) (jade.rs:22-72).
 
     ``min_eig`` is the minimum eigenvalue from the final symmetric
-    decorrelation, for the eager caller's singularity check.
+    decorrelation, for the eager caller's singularity check. With
+    ``data_sharding`` the cumulant Gram is sample-sharded (psum);
+    the Jacobi sweeps stay replicated.
     """
     n = x.shape[0]
     if n < 2:
         return jnp.eye(n, dtype=x.dtype), jnp.asarray(1.0, x.dtype)
 
-    cumulants = compute_cumulant_matrices(x)
+    cumulants = compute_cumulant_matrices(x, data_sharding=data_sharding)
     if verbose:
         jax.debug.print(
             "JADE: {k} cumulant matrices computed", k=cumulants.shape[0]
@@ -198,4 +271,4 @@ def jade(x, max_iter: int, tol: float = 1e-6, verbose: bool = False):
     return sym_decorrelation_with_mineig(v.T)
 
 
-jade_jit = jax.jit(jade, static_argnames=("max_iter", "verbose"))
+jade_jit = jax.jit(jade, static_argnames=("max_iter", "verbose", "data_sharding"))

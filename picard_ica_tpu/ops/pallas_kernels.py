@@ -85,15 +85,20 @@ def _kernel_dot(a, b, dims, acc, precision: str):
 
 
 def _tile_t(n: int, t: int) -> int:
-    """Pick a T-tile: multiple of 128 lanes, VMEM-friendly vs N."""
+    """Pick a T-tile: multiple of 128 lanes, VMEM-friendly vs N.
+
+    The fused line-search kernel holds the deepest working set: the
+    x tile (double-buffered by the pipeline), two rotated copies, the
+    score/derivative/log-lik intermediates and the delta — about 9
+    live (N, bt) f32 buffers at peak. A ~1.25MB x tile keeps that
+    near 11MB, under the 16MB scoped-VMEM limit for any N (verified
+    up to N=256 at T=2M; 2MB tiles compile-OOM at N=128).
+    """
     if t <= 512:
         # Tiny inputs (tests): one tile, rounded up to the lane width.
         return max(128, -(-t // 128) * 128)
-    # ~2MB for the x tile: with input double-buffering plus the rotated
-    # y (and the delta kernel's second rotation) VMEM peaks at roughly
-    # 5x the tile, safely under the ~16MB scoped limit.
-    budget = 2 * 1024 * 1024 // max(n * 4, 1)
-    bt = max(512, min(4096, budget))
+    budget = 1280 * 1024 // max(n * 4, 1)
+    bt = max(256, min(4096, budget))
     return (bt // 128) * 128
 
 

@@ -146,7 +146,9 @@ class Picard:
         if config.jade_it is not None:
             if config.verbose:
                 print(f"Running {config.jade_it} iterations of JADE...")
-            w_init, min_eig = jade_jit(x1, config.jade_it, 1e-6, config.verbose)
+            w_init, min_eig = jade_jit(
+                x1, config.jade_it, 1e-6, config.verbose, data_sharding=sharding
+            )
             if float(min_eig) < _SYM_DECORR_MIN_EIG:
                 raise SingularMatrixError()
         elif config.fastica_it is not None:
@@ -198,12 +200,17 @@ class Picard:
         gradient_norm = float(core.gradient_norm)
         n_iterations = int(core.n_iterations)
 
-        if not converged and config.verbose:
-            print(
-                f"Warning: PICARD did not converge. Final gradient norm: "
-                f"{gradient_norm:.4e}, tolerance: {config.tol:.4e}",
-                file=sys.stderr,
-            )
+        if not converged:
+            if config.raise_on_no_convergence:
+                from .errors import NotConvergedError
+
+                raise NotConvergedError(gradient_norm, config.tol, n_iterations)
+            if config.verbose:
+                print(
+                    f"Warning: PICARD did not converge. Final gradient norm: "
+                    f"{gradient_norm:.4e}, tolerance: {config.tol:.4e}",
+                    file=sys.stderr,
+                )
 
         return PicardResult(
             whitening=k_matrix,

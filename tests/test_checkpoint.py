@@ -1,0 +1,68 @@
+"""Checkpoint/resume round-trip tests (no reference analog — SURVEY.md
+§5 documents the reference has no persistence; resume maps onto its
+``w_init`` warm-start mechanism)."""
+
+import numpy as np
+import pytest
+
+from picard_ica_tpu import Picard, PicardConfig
+from picard_ica_tpu.checkpoint import load_result, resume_config, save_result
+from picard_ica_tpu.utils.datagen import generate_test_data
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    _, mixing, x = generate_test_data(5, 20_000, seed=9)
+    config = PicardConfig(random_state=1, max_iter=200)
+    return x, mixing, config, Picard.fit(x, config)
+
+
+def test_round_trip(tmp_path, fitted):
+    x, _, _, result = fitted
+    p = tmp_path / "fit.npz"
+    save_result(p, result)
+    loaded = load_result(p)
+
+    np.testing.assert_array_equal(np.asarray(result.unmixing), loaded.unmixing)
+    np.testing.assert_array_equal(np.asarray(result.whitening), loaded.whitening)
+    np.testing.assert_array_equal(np.asarray(result.sources), loaded.sources)
+    np.testing.assert_array_equal(np.asarray(result.mean), loaded.mean)
+    assert loaded.n_iterations == result.n_iterations
+    assert loaded.converged == result.converged
+    assert loaded.gradient_norm == pytest.approx(result.gradient_norm)
+
+
+def test_round_trip_without_sources_and_optionals(tmp_path):
+    _, _, x = generate_test_data(4, 5_000, seed=3)
+    cfg = PicardConfig(random_state=0, whiten=False, centering=False,
+                       extended=False, max_iter=100)
+    result = Picard.fit(x, cfg)
+    assert result.whitening is None and result.mean is None
+
+    p = tmp_path / "fit.npz"
+    save_result(p, result, include_sources=False)
+    loaded = load_result(p)
+    assert loaded.sources is None
+    assert loaded.whitening is None
+    assert loaded.mean is None
+    assert loaded.signs is None
+    np.testing.assert_array_equal(np.asarray(result.unmixing), loaded.unmixing)
+
+    # transform still works from the checkpoint alone.
+    y = Picard.transform(x, loaded)
+    assert y.shape == (4, 5_000)
+
+
+def test_resume_reaches_tighter_tolerance(tmp_path, fitted):
+    x, _, config, result = fitted
+    p = tmp_path / "fit.npz"
+    save_result(p, result)
+    prev = load_result(p)
+
+    cfg2 = resume_config(prev, config.replace(tol=1e-9, max_iter=300))
+    assert cfg2.jade_it is None and cfg2.fastica_it is None
+    result2 = Picard.fit(x, cfg2)
+    # Warm-started run improves (or at least matches) the gradient norm
+    # in far fewer iterations than the cold run took.
+    assert result2.n_iterations <= result.n_iterations
+    assert result2.gradient_norm <= result.gradient_norm * 10

@@ -85,3 +85,22 @@ def test_valid_config_passes():
     PicardConfig().validate()
     PicardConfig(fastica_it=3).validate()
     PicardConfig(jade_it=3).validate()
+
+
+def test_raise_on_no_convergence():
+    import pytest
+
+    from picard_ica_tpu import NotConvergedError, Picard, PicardConfig
+    from picard_ica_tpu.utils.datagen import generate_test_data
+
+    _, _, x = generate_test_data(4, 2000, seed=2)
+    cfg = PicardConfig(max_iter=1, tol=1e-12, random_state=0,
+                       raise_on_no_convergence=True)
+    with pytest.raises(NotConvergedError) as exc:
+        Picard.fit(x, cfg)
+    assert exc.value.iterations == 1
+    assert exc.value.tolerance == 1e-12
+
+    # Default semantics unchanged: warn-and-return (solver.rs:171-177).
+    res = Picard.fit(x, cfg.replace(raise_on_no_convergence=False))
+    assert not res.converged
