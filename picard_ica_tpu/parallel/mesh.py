@@ -26,8 +26,9 @@ def distributed_init(**kwargs) -> None:
     """
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        # Already initialized (or single-process without coordinator).
+    except (RuntimeError, ValueError):
+        # Already initialized, or single-process without a coordinator
+        # (jax raises ValueError when no coordinator can be inferred).
         pass
 
 
