@@ -109,10 +109,30 @@ def _mask_cols(i, bt, t, shape):
 
 
 def _reduce_partials(partials, dtype):
-    """Sum (n_tiles, ...) tile partials in f64, cast back to ``dtype``."""
-    if dtype == jnp.float64:
+    """Sum (n_tiles, ...) tile partials without losing the tile-level
+    accuracy.
+
+    On f64 (CPU conformance runs) a plain sum is exact enough. On TPU
+    f32 there is no real f64 (x64 is off and TPU f64 is emulated), so
+    the fold is a pairwise (tree) reduction — unrolled at trace time
+    into ~log2(n_tiles) vectorized adds — whose error grows
+    O(log n_tiles * eps) instead of a naive fold's O(n_tiles * eps).
+    At T = 10M that is the difference between a ~1e-5 and a ~1e-7
+    moment floor, i.e. whether tol = 1e-7 is reachable (SURVEY.md §7
+    hard part c). A Kahan scan achieves ~the same bound but its
+    sequential carry costs ~4% of the iteration.
+    """
+    if partials.dtype == jnp.float64:
         return jnp.sum(partials, axis=0)
-    return jnp.sum(partials.astype(jnp.float64), axis=0).astype(dtype)
+
+    while partials.shape[0] > 1:
+        n_lead = partials.shape[0]
+        half = n_lead // 2
+        folded = partials[:half] + partials[half : 2 * half]
+        if n_lead % 2:
+            folded = folded.at[0].add(partials[-1])
+        partials = folded
+    return partials[0].astype(dtype)
 
 
 def _rotated_moments_kernel(
