@@ -50,6 +50,10 @@ class PicardConfig:
     # reference's warn-and-return (solver.rs:171-177 semantics stay the
     # default; see errors.NotConvergedError).
     raise_on_no_convergence: bool = False
+    # TPU-native extension: MXU precision of the fused hot-loop kernel
+    # ("f32" = 6-pass HIGHEST, the measured-fastest-and-accurate
+    # default; "bf16x3" documented in ops/pallas_kernels.py).
+    kernel_precision: str = "f32"
 
     @staticmethod
     def builder() -> "ConfigBuilder":
@@ -73,6 +77,10 @@ class PicardConfig:
             raise InvalidConfigError(
                 "jade_it",
                 "cannot use both fastica_it and jade_it; choose one warm start method",
+            )
+        if self.kernel_precision not in ("f32", "bf16x3"):
+            raise InvalidConfigError(
+                "kernel_precision", "must be 'f32' or 'bf16x3'"
             )
 
     def replace(self, **kwargs) -> "PicardConfig":
@@ -159,6 +167,10 @@ class ConfigBuilder:
 
     def raise_on_no_convergence(self, raise_: bool) -> "ConfigBuilder":
         self._kwargs["raise_on_no_convergence"] = raise_
+        return self
+
+    def kernel_precision(self, precision: str) -> "ConfigBuilder":
+        self._kwargs["kernel_precision"] = precision
         return self
 
     def build(self) -> PicardConfig:

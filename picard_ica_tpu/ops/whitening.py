@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..errors import InvalidDimensionsError, SingularMatrixError
 
@@ -37,31 +38,49 @@ def center(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return x - mean[:, None], mean
 
 
+# Exactly-rank-deficient data leaves the f64 eigh's smallest
+# eigenvalue at ~machine-eps * lambda_max; anything below this RELATIVE
+# floor is numerically zero. Needed because forming X X^T squares the
+# condition number: the reference's absolute 1e-10 test on the SVD's
+# sigma_min (whitening.rs:77) cannot be reproduced through the
+# covariance (sigma = sqrt(lambda) bottoms out at sqrt(eps)*sigma_max),
+# so rank deficiency is detected relatively instead.
+_RELATIVE_EIG_FLOOR = 1e-14
+
+
 def whitening_matrix_from_covariance(cov, n_samples: int, n_components: int):
     """Build K from the N x N covariance ``X X^T`` (unnormalized).
 
-    Returns ``(k_matrix, min_singular_value)``. Jit-safe; the
-    singularity check is the caller's job (eager path raises).
+    Returns ``(k_matrix, min_singular_value)`` with ``min_singular_value``
+    forced to 0.0 when the covariance is numerically rank-deficient.
+    Eager (host-side): the covariance is a tiny replicated N x N
+    matrix, and decomposing it in NumPy f64 keeps the whitening basis
+    and the rank test at full precision even when the device computes
+    in f32 (TPU). The singularity *raise* is the caller's job.
     """
-    eigenvalues, eigenvectors = jnp.linalg.eigh(cov)
+    dtype = cov.dtype
+    cov64 = np.asarray(cov, np.float64)
+    eigenvalues, eigenvectors = np.linalg.eigh(cov64)
     # eigh returns ascending order; the SVD convention is descending.
-    order = jnp.argsort(eigenvalues)[::-1][:n_components]
+    order = np.argsort(eigenvalues)[::-1][:n_components]
     top_eigs = eigenvalues[order]
     u = eigenvectors[:, order]  # (n_features, k), columns = left sing. vectors
     # Singular values of X are sqrt of eigenvalues of X X^T.
-    s = jnp.sqrt(jnp.maximum(top_eigs, 0.0))
-    min_sv = jnp.min(s)
+    s = np.sqrt(np.maximum(top_eigs, 0.0))
+    min_sv = float(s[-1]) if s.size else 0.0
+    if eigenvalues[-1] > 0 and top_eigs[-1] < eigenvalues[-1] * _RELATIVE_EIG_FLOOR:
+        min_sv = 0.0
 
-    scale = jnp.sqrt(jnp.asarray(n_samples, cov.dtype))
-    safe_s = jnp.maximum(s, jnp.finfo(cov.dtype).tiny)
+    scale = np.sqrt(np.float64(n_samples))
+    safe_s = np.maximum(s, np.finfo(np.float64).tiny)
     k = (u / safe_s[None, :]).T * scale  # (k, n_features)
 
     # Deterministic sign: flip rows whose largest-|entry| is negative
     # (whitening.rs:92-107, "MATLAB convention").
-    max_idx = jnp.argmax(jnp.abs(k), axis=1)
-    row_sign = jnp.sign(jnp.take_along_axis(k, max_idx[:, None], axis=1))
-    row_sign = jnp.where(row_sign == 0, 1.0, row_sign)
-    return k * row_sign, min_sv
+    max_idx = np.argmax(np.abs(k), axis=1)
+    row_sign = np.sign(np.take_along_axis(k, max_idx[:, None], axis=1))
+    row_sign = np.where(row_sign == 0, 1.0, row_sign)
+    return jnp.asarray(k * row_sign, dtype), min_sv
 
 
 def whiten(x, n_components: int) -> WhiteningResult:
@@ -80,7 +99,7 @@ def whiten(x, n_components: int) -> WhiteningResult:
     # then a replicated N x N eigh.
     cov = x @ x.T
     k, min_sv = whitening_matrix_from_covariance(cov, n_samples, n_components)
-    if float(min_sv) < _MIN_SINGULAR_VALUE:
+    if min_sv < _MIN_SINGULAR_VALUE:
         raise SingularMatrixError()
 
     return WhiteningResult(data=k @ x, whitening_matrix=k)

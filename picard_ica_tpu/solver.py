@@ -188,6 +188,7 @@ class Picard:
             verbose=config.verbose,
             data_sharding=sharding,
             use_pallas=use_pallas,
+            kernel_precision=config.kernel_precision,
         )
         core = run_core_jit(
             x1, covariance, config.tol, config.lambda_min, config.max_iter, opts

@@ -192,3 +192,47 @@ def test_density_warning_config():
                 density=Cube(), extended=True, ortho=False, max_iter=5, random_state=0
             ),
         )
+
+
+def test_nan_input_graceful():
+    """NaN data must not crash: fit returns converged=False with a
+    non-finite gradient norm (numerical failure is reported, not
+    raised — matching the reference's value-based error philosophy)."""
+    import numpy as np
+
+    x = np.full((4, 1000), np.nan)
+    result = Picard.fit(x, PicardConfig(random_state=0, max_iter=5, whiten=False))
+    assert not result.converged
+    assert not np.isfinite(result.gradient_norm)
+
+
+def test_rank_deficient_data_raises():
+    """Rank-deficient data hits the whitening sigma < 1e-10 rejection
+    (whitening.rs:71-79)."""
+    import numpy as np
+    import pytest
+
+    from picard_ica_tpu.errors import SingularMatrixError
+
+    rng = np.random.default_rng(0)
+    row = rng.standard_normal(5000)
+    x = np.stack([row, row, rng.standard_normal(5000)])  # rank 2 of 3
+    with pytest.raises(SingularMatrixError):
+        Picard.fit(x, PicardConfig(random_state=0))
+
+
+def test_one_dimensional_input_rejected():
+    import numpy as np
+    import pytest
+
+    from picard_ica_tpu.errors import InvalidDimensionsError
+
+    with pytest.raises(InvalidDimensionsError):
+        Picard.fit(np.zeros(100), PicardConfig())
+
+
+def test_n_components_exceeding_n_clamps():
+    """n_components > min(n, p) clamps rather than erroring (solver.rs:63)."""
+    _, _, x = generate_test_data(4, 3000, seed=1)
+    result = Picard.fit(x, PicardConfig(n_components=99, random_state=0, max_iter=50))
+    assert result.unmixing.shape == (4, 4)
