@@ -219,49 +219,12 @@ def data_loglik(m, x, opts: CoreOptions, need_ysq: bool):
     return ll, ysq
 
 
-def data_loglik_delta(m_new, m_old, x, opts: CoreOptions, need_ysq: bool):
-    """Per-row means of log_lik(M_new X) - log_lik(M_old X) (+ Y^2 delta).
-
-    The subtraction happens per element before any reduction, so the
-    line search can resolve loss decreases far below the absolute f32
-    loss resolution (which otherwise floors the gradient norm around
-    1e-5 at T = 1e6).
-    """
-    t = x.shape[1]
-    inv_t = jnp.asarray(1.0 / t, x.dtype)
-
-    if opts.use_pallas:
-        from ..ops.pallas_kernels import rotated_loglik_delta_sums
-
-        interp = _interpret()
-
-        def local(x_local, mn, mo):
-            return rotated_loglik_delta_sums(
-                mn, mo, x_local, opts.density, need_ysq, interpret=interp
-            )
-
-        if opts.data_sharding is not None:
-            dll, dysq = _shard_mapped(local, opts.data_sharding, x, m_new, m_old)
-        else:
-            dll, dysq = local(x, m_new, m_old)
-        return dll * inv_t, dysq * inv_t
-
-    y_new = _dot(m_new, x)
-    y_old = _dot(m_old, x)
-    dll = jnp.mean(opts.density.log_lik(y_new) - opts.density.log_lik(y_old), axis=1)
-    if need_ysq:
-        dysq = jnp.mean(y_new * y_new - y_old * y_old, axis=1)
-    else:
-        dysq = jnp.zeros_like(dll)
-    return dll, dysq
-
-
 def data_fused_step(m_new, m_old, x, opts: CoreOptions, need_h: bool, need_ysq: bool):
     """One line-search try + speculative next-iteration moments.
 
     Returns ``(dll_means, dysq_means, RawMoments(of M_new @ X))`` in a
     single streaming pass over X. The loss delta is evaluated per
-    element (see :func:`data_loglik_delta`); the moments are the raw
+    element, inside the kernel; the moments are the raw
     (sign-free) quantities of the CANDIDATE, so an accepted try hands
     the next optimizer iteration its moment pass for free — the
     standalone moments kernel runs only at initialization.
@@ -306,7 +269,9 @@ def data_fused_step(m_new, m_old, x, opts: CoreOptions, need_h: bool, need_ysq: 
         h = jnp.zeros((n, n), dtype)
     if need_ysq:
         ysq_new_mean = jnp.mean(y_new * y_new, axis=1)
-        # Per-element subtraction, as in data_loglik_delta.
+        # Per-element subtraction BEFORE the reduction: near
+        # convergence the difference is tiny and would vanish in an
+        # absolute-loss compare.
         dysq = jnp.mean(y_new * y_new - y_old * y_old, axis=1)
     else:
         ysq_new_mean = jnp.zeros((n,), dtype)

@@ -73,16 +73,3 @@ def loglik_rowmeans_xla(y, density):
     ``sum(signs * loglik_rowmeans)``.
     """
     return jnp.mean(density.log_lik(y), axis=1)
-
-
-def transform_and_loglik_xla(tm, y, density):
-    """Line-search try: ``Y' = Tm @ Y`` plus its log-lik row means.
-
-    Returns ``(y_new, loglik_rowmeans, ysq_rowmean)``. On the XLA path
-    Y' is materialized; the Pallas path can evaluate the loss without
-    writing Y' back to HBM for rejected steps.
-    """
-    y_new = tm @ y
-    ll = jnp.mean(density.log_lik(y_new), axis=1)
-    ysq = jnp.mean(y_new * y_new, axis=1)
-    return y_new, ll, ysq

@@ -13,20 +13,25 @@ ZERO N x T writes — the reference's formulation (core.rs:124, 215-221)
 materializes psi(Y), psi'(Y), Y^2 and a fresh Y per try.
 
 Accuracy design: each grid step writes its tile-local partial to its
-own output slot; the (n_tiles, ...) partials (a few MB) are reduced
-OUTSIDE the kernel in float64. A single running f32 accumulator would
-be n_tiles adds deep and costs ~2 digits of gradient-norm floor at
-T = 1M; per-tile partials + f64 reduction keep the moment error at the
-single-tile level, which is what lets f32 TPU runs converge well below
-1e-5 (SURVEY.md §7 hard part c).
+own output slot; the (n_tiles, ...) partials (a few MB) are folded
+OUTSIDE the kernel with a pairwise tree (O(log n_tiles * eps) error).
+A single running f32 accumulator would be n_tiles adds deep and costs
+~2 digits of gradient-norm floor at T = 1M; per-tile partials + tree
+fold keep the moment error at the single-tile level, which is what
+lets f32 TPU runs converge to tol = 1e-7 (SURVEY.md §7 hard part c).
 
-Two kernels cover everything:
+Three kernels cover everything:
   * rotated_moments — G = psi(WX)(WX)^T, E[psi'], optionally
-    H = psi'(WX)((WX)^2)^T and E[(WX)^2]  (core.rs:215-276)
+    H = psi'(WX)((WX)^2)^T and E[(WX)^2]  (core.rs:215-276); runs
+    once per fit, at initialization
   * rotated_loglik  — row-sums of log_lik(WX) (+ optional E[(WX)^2]),
-    the line-search loss's data term (core.rs:73-83)
+    the absolute loss's data term (core.rs:73-83); init + extended
+    sign-change re-baselines
+  * rotated_fused   — THE hot kernel: one line-search try (per-element
+    loss delta vs the current W) plus the candidate's full moment set,
+    in a single read of X per try
 
-Both return UNNORMALIZED sums over the local T axis so multi-chip
+All return UNNORMALIZED sums over the local T axis so multi-chip
 callers can psum across sample shards before dividing by global T.
 """
 
@@ -314,7 +319,9 @@ def _rotated_fused_kernel(
 
     psi, psi_d, ll_new = density.score_der_loglik(y_new)
     ll_old = density.log_lik(y_old)
-    # Subtract per element BEFORE reducing (see rotated_loglik_delta_sums).
+    # Subtract per element BEFORE reducing: near convergence the true
+    # decrease is far below the absolute f32 loss resolution; the
+    # per-element cancellation keeps it resolvable.
     dll = ll_new - ll_old
     if t % bt != 0:
         mask = _mask_cols(i, bt, t, dll.shape)
@@ -402,70 +409,3 @@ def rotated_fused_sums(
     )
 
 
-def _rotated_delta_kernel(
-    m_new_ref, m_old_ref, x_ref, dll_ref, dysq_ref, *, density, need_ysq, t, bt, acc
-):
-    i = pl.program_id(0)
-
-    x_t = x_ref[...]
-    if t % bt != 0:
-        x_t = jnp.where(_mask_cols(i, bt, t, x_t.shape), x_t, 0.0)
-
-    y_new = jnp.dot(m_new_ref[...], x_t, preferred_element_type=acc, precision=_HI)
-    y_old = jnp.dot(m_old_ref[...], x_t, preferred_element_type=acc, precision=_HI)
-    # Subtract per element BEFORE reducing: near convergence the
-    # difference is tiny and would vanish in an absolute-loss compare.
-    dll = density.log_lik(y_new) - density.log_lik(y_old)
-    if t % bt != 0:
-        dll = jnp.where(_mask_cols(i, bt, t, dll.shape), dll, 0.0)
-
-    dll_ref[0] = jnp.sum(dll, axis=1, keepdims=True)
-    if need_ysq:
-        dysq_ref[0] = jnp.sum(y_new * y_new - y_old * y_old, axis=1, keepdims=True)
-    else:
-        dysq_ref[0] = jnp.zeros_like(dysq_ref[0])
-
-
-@functools.partial(jax.jit, static_argnames=("density", "need_ysq", "interpret"))
-def rotated_loglik_delta_sums(
-    m_new, m_old, x, density: Density, need_ysq: bool, interpret: bool = False
-):
-    """Unnormalized row-sums of log_lik(M_new X) - log_lik(M_old X)
-    (and optionally (M_new X)^2 - (M_old X)^2).
-
-    The line-search accept test ``loss_new < loss_current``
-    (core.rs:130) is evaluated as ``delta < 0`` with the cancellation
-    done per element inside the kernel; an absolute f32 loss compare
-    bottoms out around 1e-5 decreases, this resolves decreases at
-    relative-epsilon scale. Two rotations per tile instead of one —
-    extra MXU flops, identical HBM traffic.
-    """
-    n, t = x.shape
-    bt = _tile_t(n, t)
-    n_tiles = pl.cdiv(t, bt)
-    dtype = x.dtype
-
-    kernel = functools.partial(
-        _rotated_delta_kernel, density=density, need_ysq=need_ysq, t=t, bt=bt,
-        acc=dtype,
-    )
-
-    dll, dysq = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
-            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
-        ],
-        interpret=interpret,
-    )(m_new.astype(dtype), m_old.astype(dtype), x)
-    return _reduce_partials(dll, dtype)[:, 0], _reduce_partials(dysq, dtype)[:, 0]
