@@ -55,7 +55,7 @@ def _tpu_samples_per_sec() -> tuple:
 
     opts = CoreOptions(
         density=Tanh(), ortho=True, extended=True, has_cov=True, m=7, ls_tries=10,
-        use_pallas=True,
+        use_pallas=True, kernel_precision="auto",
     )
     cov = jnp.eye(N_COMPONENTS, dtype=jnp.float32)
 

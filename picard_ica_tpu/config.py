@@ -50,10 +50,13 @@ class PicardConfig:
     # reference's warn-and-return (solver.rs:171-177 semantics stay the
     # default; see errors.NotConvergedError).
     raise_on_no_convergence: bool = False
-    # TPU-native extension: MXU precision of the fused hot-loop kernel
-    # ("f32" = 6-pass HIGHEST, the measured-fastest-and-accurate
-    # default; "bf16x3" documented in ops/pallas_kernels.py).
-    kernel_precision: str = "f32"
+    # TPU-native extension: MXU precision of the fused hot-loop kernel.
+    # "auto" (default) = staged schedule: 1-pass bf16 -> split-bf16
+    # 3-pass -> exact-f32 6-pass, each tier down to a safe multiple of
+    # its gradient-noise floor (models/core._precision_stages); "f32"
+    # pins the exact 6-pass dots throughout; "bf16x3"/"bf16" pin a
+    # single faster tier (their floors cap reachable tolerance).
+    kernel_precision: str = "auto"
 
     @staticmethod
     def builder() -> "ConfigBuilder":
@@ -78,9 +81,10 @@ class PicardConfig:
                 "jade_it",
                 "cannot use both fastica_it and jade_it; choose one warm start method",
             )
-        if self.kernel_precision not in ("f32", "bf16x3"):
+        if self.kernel_precision not in ("auto", "f32", "bf16x3", "bf16"):
             raise InvalidConfigError(
-                "kernel_precision", "must be 'f32' or 'bf16x3'"
+                "kernel_precision",
+                "must be 'auto', 'f32', 'bf16x3' or 'bf16'",
             )
 
     def replace(self, **kwargs) -> "PicardConfig":

@@ -24,9 +24,12 @@ as a single jitted ``lax.while_loop`` over an immutable carry:
 Sharding: X may be sharded over a 1-D "samples" mesh axis. The XLA
 kernel path relies on GSPMD (contractions become local partials +
 psum); the Pallas path is wrapped in ``shard_map`` with explicit psums.
-All N x N algebra is replicated. Matmuls run at Precision.HIGHEST —
-the default TPU bf16 pass costs ~2 digits of gradient-norm floor,
-which matters at tol near 1e-7 (SURVEY.md §7 hard part c).
+All N x N algebra is replicated. Data-pass matmuls default to
+Precision.HIGHEST (a single bf16 pass costs ~3 digits of gradient-norm
+floor, which matters at tol near 1e-7 — SURVEY.md §7 hard part c);
+``kernel_precision="auto"`` runs a staged bf16 -> bf16x3 -> f32
+schedule that spends the expensive exact-f32 passes only on the final
+iterations (see _precision_stages).
 """
 
 from __future__ import annotations
@@ -61,12 +64,12 @@ class CoreOptions:
     verbose: bool = False
     data_sharding: Any = None  # optional NamedSharding (None, "samples") for X
     use_pallas: bool = False
-    # MXU precision of the fused hot-loop kernel: "f32" (6-pass bf16
-    # a.k.a. Precision.HIGHEST — the default and the measured-fastest
-    # on v5e, running at the MXU roofline) or "bf16x3" (split-bf16
-    # 3-pass; kept for future Mosaic/hardware generations — measured
-    # SLOWER under current Mosaic at N<=128 shapes, and its ~3e-6
-    # gradient floor misses tol=1e-7).
+    # MXU precision of the fused hot-loop kernel: "auto" = staged
+    # bf16 -> bf16x3 -> f32 schedule (see _precision_stages; ~1.4x
+    # end-to-end at N=64/T=4M), "f32" = exact 6-pass dots throughout
+    # (the conservative default for direct CoreOptions users),
+    # "bf16x3"/"bf16" pin a single tier (noise floors ~2e-7 / ~2.6e-4
+    # cap the reachable tolerance). All tiers are HIGHEST at f64.
     kernel_precision: str = "f32"
 
 
@@ -700,12 +703,39 @@ def init_state(x, covariance, opts: CoreOptions):
     return state, initial_singular
 
 
+def _precision_stages(opts: CoreOptions):
+    """Staged MXU-precision schedule for ``kernel_precision="auto"``.
+
+    Each tier runs until the gradient norm clears a safe multiple of
+    its measured noise floor (see ops/pallas_kernels._kernel_dot), then
+    hands the carry to the next tier: 1-pass bf16 (3x the speed of
+    HIGHEST, floor ~2.6e-4) -> split-bf16 3-pass (~2x, floor ~2e-7)
+    -> exact-f32 6-pass down to tol. The Jacobian of the handoff is
+    trivial — W, the L-BFGS ring and the loss are precision-agnostic
+    carry state; only the moments are re-measured at each boundary.
+    On f64 (CPU conformance) every tier lowers to the same HIGHEST
+    dots, so the trajectory is identical to a single "f32" stage.
+    """
+    if opts.kernel_precision != "auto":
+        return [(opts.kernel_precision, None)]
+    if not opts.use_pallas:
+        # The XLA path always runs HIGHEST; staging would only add
+        # boundary re-measures.
+        return [("f32", None)]
+    return [("bf16", 1e-3), ("bf16x3", 1e-5), ("f32", None)]
+
+
 def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> CoreResult:
     """Run the full optimizer loop (core.rs:162-401). Jit-friendly."""
     if opts.data_sharding is not None:
         x = lax.with_sharding_constraint(x, opts.data_sharding)
 
-    state, _ = init_state(x, covariance, opts)
+    stages = _precision_stages(opts)
+    need_h = not opts.ortho
+    need_ysq = opts.extended and not opts.ortho
+
+    first_opts = dataclasses.replace(opts, kernel_precision=stages[0][0])
+    state, _ = init_state(x, covariance, first_opts)
     tol = jnp.asarray(tol, x.dtype)
     lambda_min = jnp.asarray(lambda_min, x.dtype)
     max_iter = jnp.asarray(max_iter, jnp.int32)
@@ -713,10 +743,24 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
     def cond(st: CoreState):
         return (st.it < max_iter) & (~st.converged)
 
-    def body(st: CoreState):
-        return _iteration_body(st, x, covariance, tol, lambda_min, opts)
+    for idx, (precision, floor) in enumerate(stages):
+        stage_opts = dataclasses.replace(opts, kernel_precision=precision)
+        stage_tol = tol if floor is None else jnp.maximum(
+            jnp.asarray(floor, x.dtype), tol
+        )
+        if idx > 0:
+            # Re-measure the moments at the new precision and clear the
+            # stage-convergence flag; `it`/`n_iter_done` carry over, so
+            # the boundary costs one moments pass, not an iteration.
+            moments = data_moments(state.w, x, stage_opts, need_h, need_ysq)
+            state = state._replace(moments=moments, converged=jnp.asarray(False))
 
-    final = lax.while_loop(cond, body, state)
+        def body(st: CoreState, _opts=stage_opts, _tol=stage_tol):
+            return _iteration_body(st, x, covariance, _tol, lambda_min, _opts)
+
+        state = lax.while_loop(cond, body, state)
+
+    final = state
 
     # Materialize the sources once, at the end (the reference rewrites
     # them every iteration).

@@ -177,3 +177,26 @@ def test_loss_pallas_vs_xla():
         lx = compute_loss(w, x, signs, _make_opts(False, **kw))
         lp = compute_loss(w, x, signs, _make_opts(True, **kw))
         np.testing.assert_allclose(float(lx), float(lp), rtol=1e-10)
+
+
+def test_auto_precision_stages_identical_at_f64():
+    """kernel_precision="auto" stages all lower to HIGHEST at f64, so
+    the trajectory must match a single "f32" stage to ulp-level noise
+    (the boundary re-measures moments with the standalone kernel whose
+    tanh differs from the fused kernel's shared-exp form by ~1 ulp)."""
+    rng = np.random.default_rng(8)
+    u = rng.uniform(0.001, 0.999, size=(4, 3000))
+    x = np.sign(rng.standard_normal((4, 3000))) * (-np.log(u))
+    x -= x.mean(axis=1, keepdims=True)
+    x /= x.std(axis=1, keepdims=True)
+    x = jnp.asarray(x)
+    cov = jnp.eye(4)
+
+    res_f32 = run_core(x, cov, 1e-7, 0.01, 100, _make_opts(True, kernel_precision="f32"))
+    res_auto = run_core(x, cov, 1e-7, 0.01, 100, _make_opts(True, kernel_precision="auto"))
+
+    assert int(res_f32.n_iterations) == int(res_auto.n_iterations)
+    assert bool(res_f32.converged) == bool(res_auto.converged)
+    np.testing.assert_allclose(
+        np.asarray(res_f32.w), np.asarray(res_auto.w), rtol=1e-8, atol=1e-9
+    )
