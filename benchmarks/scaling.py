@@ -56,6 +56,7 @@ def run_at(n_devices: int, n: int, t_per_chip: int, reps: int) -> dict:
         density=Tanh(), ortho=True, extended=True, has_cov=True,
         m=7, ls_tries=10,
         use_pallas=jax.default_backend() == "tpu",
+        kernel_precision="auto",
         data_sharding=sharding,
     )
     cov = jnp.eye(n, dtype=jnp.float32)

@@ -225,7 +225,8 @@ def group_baseline_configs(records, reps, quick):
           file=sys.stderr)
 
     core_kw = dict(density=Tanh(), ortho=True, extended=True, has_cov=True,
-                   m=7, ls_tries=10, use_pallas=on_tpu)
+                   m=7, ls_tries=10, use_pallas=on_tpu,
+                   kernel_precision="auto")
 
     # Config 2: Picard-O 32 x 100k.
     n, t = 32, 100_000

@@ -70,6 +70,8 @@ class PicardConfig:
         """Eager validation (config.rs:104-142)."""
         if self.max_iter <= 0:
             raise InvalidConfigError("max_iter", "must be greater than 0")
+        if self.n_components is not None and self.n_components <= 0:
+            raise InvalidConfigError("n_components", "must be at least 1")
         if self.tol <= 0.0:
             raise InvalidConfigError("tol", "must be positive")
         if self.lambda_min <= 0.0:

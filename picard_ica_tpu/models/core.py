@@ -71,6 +71,12 @@ class CoreOptions:
     # "bf16x3"/"bf16" pin a single tier (noise floors ~2e-7 / ~2.6e-4
     # cap the reachable tolerance). All tiers are HIGHEST at f64.
     kernel_precision: str = "f32"
+    # Plateau patience for NON-FINAL precision stages: hand off to the
+    # next (more exact) tier after this many iterations without a
+    # gradient-norm improvement — the tier's noise floor depends on the
+    # data, so fixed thresholds alone are fragile. 0 disables (always
+    # 0 for the final stage: the reference runs to max_iter).
+    stage_patience: int = 0
 
 
 class LbfgsMemory(NamedTuple):
@@ -99,6 +105,9 @@ class CoreState(NamedTuple):
     n_iter_done: jnp.ndarray  # i32
     gradient_norm: jnp.ndarray
     converged: jnp.ndarray  # bool
+    # Plateau tracking for staged-precision handoff (reset per stage).
+    best_gnorm: jnp.ndarray
+    since_improve: jnp.ndarray  # i32
 
 
 class CoreResult(NamedTuple):
@@ -354,15 +363,29 @@ def regularize_hessian(h, h_off, lambda_min):
     """Eigenvalue-floor the 2x2 Hessian blocks (lbfgs.rs:155-171).
 
     Off-diagonal entries only; the smaller eigenvalue of the (i,j)
-    block is lifted to lambda_min.
+    block is lifted to lambda_min. The reference scans entries in
+    row-major order MUTATING h as it goes, so a lower-triangle entry
+    (p, q), p > q, computes its eigenvalue from the ALREADY-BUMPED
+    upper partner h[q, p] (bumped when row q was scanned) while every
+    upper entry sees only originals. That order is exactly two
+    vectorized phases: bump the upper triangle from the original h,
+    then bump the lower triangle against the phase-1 result.
     """
     n = h.shape[0]
-    diff = h - h.T
-    discr = jnp.sqrt(diff * diff + 4.0 * jnp.outer(h_off, h_off))
-    eigenvalue = 0.5 * (h + h.T - discr)
-    off_diag = ~jnp.eye(n, dtype=bool)
-    bump = jnp.where(off_diag & (eigenvalue < lambda_min), lambda_min - eigenvalue, 0.0)
-    return h + bump
+    i = jnp.arange(n)
+    upper = i[:, None] < i[None, :]
+    lower = i[:, None] > i[None, :]
+    off = jnp.outer(h_off, h_off)
+
+    def bump(entries, partners, mask):
+        diff = entries - partners
+        discr = jnp.sqrt(diff * diff + 4.0 * off)
+        eigenvalue = 0.5 * (entries + partners - discr)
+        return jnp.where(mask & (eigenvalue < lambda_min),
+                         lambda_min - eigenvalue, 0.0)
+
+    h1 = h + bump(h, h.T, upper)
+    return h1 + bump(h, h1.T, lower)
 
 
 def compute_direction(g, h, h_off, mem: LbfgsMemory, opts: CoreOptions):
@@ -402,7 +425,8 @@ def compute_direction(g, h, h_off, mem: LbfgsMemory, opts: CoreOptions):
     return -z
 
 
-def line_search(x, w, direction, signs, current_loss, ls_tries, opts: CoreOptions):
+def line_search(x, w, direction, signs, current_loss, ls_tries, opts: CoreOptions,
+                accept_slack=None):
     """Backtracking line search (core.rs:99-150), Y kept implicit.
 
     Tries alpha = 1, 1/2, 1/4, ... accepting the first loss decrease.
@@ -428,6 +452,11 @@ def line_search(x, w, direction, signs, current_loss, ls_tries, opts: CoreOption
     eye = jnp.eye(n, dtype=dtype)
     need_h = not opts.ortho
     need_ysq = opts.extended and not opts.ortho
+    # accept_slack > 0 reproduces the reference's STALE baseline at the
+    # first extended iteration (see _iteration_update): accept when
+    # loss(candidate, new signs) < current_loss + slack.
+    if accept_slack is None:
+        accept_slack = jnp.asarray(0.0, dtype)
 
     def try_alpha(alpha):
         if opts.ortho:
@@ -458,7 +487,7 @@ def line_search(x, w, direction, signs, current_loss, ls_tries, opts: CoreOption
     def body(carry):
         alpha, tries, _, _, _, _ = carry
         w_new, delta, moments = try_alpha(alpha)
-        success = delta < 0
+        success = delta < accept_slack
         next_alpha = jnp.where(success, alpha, alpha / 2.0)
         return (next_alpha, tries + 1, success, w_new, delta, moments)
 
@@ -516,14 +545,35 @@ def _iteration_update(st: CoreState, x, g, h, h_off, signs, old_signs, sign_chan
         memory = LbfgsMemory(
             memory.s_mem, memory.y_mem, memory.r_mem, mem_count_flushed
         )
+
+        # First-iteration stale baseline (reference quirk, core.rs): at
+        # it == 0 a sign flip does NOT re-baseline the loss (the
+        # sign_change guard is it > 0), so the reference's line search
+        # compares loss(candidate, NEW signs) against the init loss
+        # computed with signs == ones. Reproduce it exactly:
+        # loss(W, ones) - loss(W, new) = sum_i (1 - signs_i) E[ll_i(W)],
+        # fed to the line search as current_loss = loss(W, new) plus an
+        # accept slack of the same amount.
+        def stale_offset(_):
+            ll_means, _ = data_loglik(st.w, x, opts, False)
+            return jnp.sum((1.0 - signs) * ll_means)
+
+        def no_offset(_):
+            return jnp.asarray(0.0, st.loss.dtype)
+
+        it0_flip = (st.it == 0) & jnp.any(signs < 0)
+        accept_slack = lax.cond(it0_flip, stale_offset, no_offset, operand=None)
+        current_loss = current_loss - accept_slack
     else:
         current_loss = st.loss
+        accept_slack = jnp.asarray(0.0, st.loss.dtype)
 
     direction = compute_direction(g, h, h_off, memory, opts)
 
     success, ls_w, ls_loss, ls_step, ls_moments = line_search(
         x, st.w, direction, signs, current_loss,
         jnp.asarray(opts.ls_tries, jnp.int32), opts,
+        accept_slack=accept_slack,
     )
 
     # Gradient-descent fallback on line-search failure (core.rs:349-364):
@@ -533,6 +583,7 @@ def _iteration_update(st: CoreState, x, g, h, h_off, signs, old_signs, sign_chan
         _, fb_w, fb_loss, fb_step, fb_moments = line_search(
             x, st.w, -g, signs, current_loss,
             jnp.asarray(_FALLBACK_LS_TRIES, jnp.int32), opts,
+            accept_slack=accept_slack,
         )
         return fb_w, fb_loss, fb_step, jnp.zeros_like(memory.count), fb_moments
 
@@ -571,6 +622,8 @@ def _iteration_update(st: CoreState, x, g, h, h_off, signs, old_signs, sign_chan
         n_iter_done=st.it + 1,
         gradient_norm=gradient_norm,
         converged=jnp.asarray(False),
+        best_gnorm=st.best_gnorm,
+        since_improve=st.since_improve,
     )
 
 
@@ -629,6 +682,24 @@ def _iteration_body(st: CoreState, x, covariance, tol, lambda_min, opts: CoreOpt
 
     gradient_norm = jnp.max(jnp.abs(g))
     converged = gradient_norm < tol
+
+    # Non-final precision stages also exit on a gradient-norm plateau:
+    # the tier's noise floor is data-dependent, so "no improvement for
+    # stage_patience iterations" hands off to the next tier wherever
+    # the floor happens to sit. Disabled (patience 0) for the final
+    # stage — the reference runs to max_iter.
+    if opts.stage_patience > 0:
+        improved = gradient_norm < st.best_gnorm * 0.99
+        best_gnorm = jnp.minimum(st.best_gnorm, gradient_norm)
+        since_improve = jnp.where(
+            improved, jnp.zeros_like(st.since_improve), st.since_improve + 1
+        )
+        converged = converged | (since_improve >= opts.stage_patience)
+    else:
+        best_gnorm = st.best_gnorm
+        since_improve = st.since_improve
+
+    st = st._replace(best_gnorm=best_gnorm, since_improve=since_improve)
 
     def finish(_):
         return st._replace(
@@ -699,6 +770,8 @@ def init_state(x, covariance, opts: CoreOptions):
         n_iter_done=jnp.asarray(0, jnp.int32),
         gradient_norm=jnp.asarray(1.0, dtype),
         converged=jnp.asarray(False),
+        best_gnorm=jnp.asarray(jnp.inf, dtype),
+        since_improve=jnp.asarray(0, jnp.int32),
     )
     return state, initial_singular
 
@@ -722,7 +795,7 @@ def _precision_stages(opts: CoreOptions):
         # The XLA path always runs HIGHEST; staging would only add
         # boundary re-measures.
         return [("f32", None)]
-    return [("bf16", 1e-3), ("bf16x3", 1e-5), ("f32", None)]
+    return [("bf16", 1e-3), ("bf16x3", 3e-5), ("f32", None)]
 
 
 def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> CoreResult:
@@ -744,16 +817,30 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
         return (st.it < max_iter) & (~st.converged)
 
     for idx, (precision, floor) in enumerate(stages):
-        stage_opts = dataclasses.replace(opts, kernel_precision=precision)
+        final_stage = idx == len(stages) - 1
+        stage_opts = dataclasses.replace(
+            opts,
+            kernel_precision=precision,
+            # Non-final tiers bail to the next tier on a gradient
+            # plateau (their noise floor is data-dependent); the final
+            # tier honors reference semantics (run to max_iter).
+            stage_patience=0 if final_stage else 3,
+        )
         stage_tol = tol if floor is None else jnp.maximum(
             jnp.asarray(floor, x.dtype), tol
         )
         if idx > 0:
             # Re-measure the moments at the new precision and clear the
-            # stage-convergence flag; `it`/`n_iter_done` carry over, so
-            # the boundary costs one moments pass, not an iteration.
+            # stage-convergence/plateau state; `it`/`n_iter_done` carry
+            # over, so the boundary costs one moments pass, not an
+            # iteration.
             moments = data_moments(state.w, x, stage_opts, need_h, need_ysq)
-            state = state._replace(moments=moments, converged=jnp.asarray(False))
+            state = state._replace(
+                moments=moments,
+                converged=jnp.asarray(False),
+                best_gnorm=jnp.asarray(jnp.inf, x.dtype),
+                since_improve=jnp.asarray(0, jnp.int32),
+            )
 
         def body(st: CoreState, _opts=stage_opts, _tol=stage_tol):
             return _iteration_body(st, x, covariance, _tol, lambda_min, _opts)

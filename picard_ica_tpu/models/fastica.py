@@ -33,10 +33,10 @@ def ica_par(x, density: Density, max_iter: int, w_init):
 
     def body(_, carry):
         w, min_eig = carry
-        wx = w @ x
+        wx = jnp.dot(w, x, precision=jax.lax.Precision.HIGHEST)
         gwtx, g_wtx = density.score_and_der(wx)
         g_wtx_mean = jnp.mean(g_wtx, axis=1)
-        c = (gwtx @ x.T) * inv_t - g_wtx_mean[:, None] * w
+        c = jnp.dot(gwtx, x.T, precision=jax.lax.Precision.HIGHEST) * inv_t - g_wtx_mean[:, None] * w
         w_new, me = sym_decorrelation_with_mineig(c)
         return w_new, jnp.minimum(min_eig, me)
 

@@ -90,7 +90,10 @@ def _pair_product_gram(x, chunk_size: int):
 
     def accumulate(acc, x_chunk):
         z = (x_chunk[:, None, :] * x_chunk[None, :, :]).reshape(n * n, -1)
-        return acc + jnp.dot(z, z.T, preferred_element_type=dtype), None
+        return acc + jnp.dot(
+            z, z.T, preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        ), None
 
     gram, _ = lax.scan(accumulate, jnp.zeros((n * n, n * n), dtype), xc)
     return gram

@@ -331,19 +331,20 @@ Mat solve_hessian_system(const Mat &h, const std::vector<double> &h_off,
 }
 
 // Eigenvalue-floor the off-diagonal 2x2 blocks (lbfgs.rs:155-171).
-// All bumps are computed from the ORIGINAL h (an in-place update would
-// contaminate the (j,i) bump with the already-bumped (i,j) entry).
+// Row-major in-place scan EXACTLY like the reference: a lower-triangle
+// entry (p, q) reads the already-bumped upper partner h[q][p]; upper
+// entries see only originals. (models/core.py vectorizes the same
+// order as two phases.)
 void regularize_hessian(Mat &h, const std::vector<double> &h_off,
                         double lambda_min) {
     int n = h.r;
-    const Mat orig = h;
     for (int i = 0; i < n; ++i)
         for (int j = 0; j < n; ++j) {
             if (i == j) continue;
-            double diff = orig.at(i, j) - orig.at(j, i);
+            double diff = h.at(i, j) - h.at(j, i);
             double discr = std::sqrt(diff * diff + 4.0 * h_off[i] * h_off[j]);
-            double ev = 0.5 * (orig.at(i, j) + orig.at(j, i) - discr);
-            if (ev < lambda_min) h.at(i, j) = orig.at(i, j) + lambda_min - ev;
+            double ev = 0.5 * (h.at(i, j) + h.at(j, i) - discr);
+            if (ev < lambda_min) h.at(i, j) += lambda_min - ev;
         }
 }
 

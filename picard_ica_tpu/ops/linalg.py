@@ -19,6 +19,11 @@ from jax import lax
 
 from ..errors import SingularMatrixError
 
+# N x N products run exact-f32-grade: a default (bf16 on TPU) pass in
+# the line-search transform or the decorrelation costs ~4e-3 relative
+# error on state the loop treats as exact.
+_HI_PREC = jax.lax.Precision.HIGHEST
+
 # Minimum eigenvalue of W W^T accepted by symmetric decorrelation
 # (math.rs:22).
 _SYM_DECORR_MIN_EIG = 1e-10
@@ -31,14 +36,15 @@ def sym_decorrelation_with_mineig(w):
     :func:`sym_decorrelation`, which raises ``SingularMatrixError`` when
     the min eigenvalue is below 1e-10, matching math.rs:21-24.
     """
-    ww_t = w @ w.T
+    hi = jax.lax.Precision.HIGHEST
+    ww_t = jnp.dot(w, w.T, precision=hi)
     eigenvalues, eigenvectors = jnp.linalg.eigh(ww_t)
     min_eig = jnp.min(eigenvalues)
     # Guard: avoid nan from sqrt of tiny negatives under f32.
     safe = jnp.maximum(eigenvalues, jnp.finfo(w.dtype).tiny)
     s_inv_sqrt = 1.0 / jnp.sqrt(safe)
     scaled = eigenvectors * s_inv_sqrt
-    return (scaled @ eigenvectors.T) @ w, min_eig
+    return jnp.dot(jnp.dot(scaled, eigenvectors.T, precision=hi), w, precision=hi), min_eig
 
 
 def sym_decorrelation(w):
@@ -97,7 +103,7 @@ def matrix_exp(a):
     term = eye
     active = jnp.asarray(True)
     for k in range(1, _EXPM_MAX_TERMS + 1):
-        term_next = (term @ a_scaled) / dtype.type(k)
+        term_next = jnp.dot(term, a_scaled, precision=_HI_PREC) / dtype.type(k)
         result = jnp.where(active, result + term_next, result)
         term = jnp.where(active, term_next, term)
         active = active & (jnp.max(jnp.abs(term_next)) >= _EXPM_TERM_TOL)
@@ -105,7 +111,9 @@ def matrix_exp(a):
     # Unrolled squarings (i < s), then a tail loop for absurd norms.
     s_i32 = s.astype(jnp.int32)
     for i in range(_EXPM_UNROLLED_SQUARINGS):
-        result = jnp.where(i < s_i32, result @ result, result)
+        result = jnp.where(
+            i < s_i32, jnp.dot(result, result, precision=_HI_PREC), result
+        )
 
     def square_cond(carry):
         i, _ = carry
@@ -113,7 +121,7 @@ def matrix_exp(a):
 
     def square_body(carry):
         i, r = carry
-        return i + 1, r @ r
+        return i + 1, jnp.dot(r, r, precision=_HI_PREC)
 
     _, result = lax.while_loop(
         square_cond, square_body,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -97,9 +98,12 @@ def whiten(x, n_components: int) -> WhiteningResult:
 
     # Sharded-friendly: one N x T @ T x N contraction (psum under SPMD),
     # then a replicated N x N eigh.
-    cov = x @ x.T
+    cov = jnp.dot(x, x.T, precision=jax.lax.Precision.HIGHEST)
     k, min_sv = whitening_matrix_from_covariance(cov, n_samples, n_components)
     if min_sv < _MIN_SINGULAR_VALUE:
         raise SingularMatrixError()
 
-    return WhiteningResult(data=k @ x, whitening_matrix=k)
+    return WhiteningResult(
+        data=jnp.dot(k, x, precision=jax.lax.Precision.HIGHEST),
+        whitening_matrix=k,
+    )

@@ -96,7 +96,8 @@ class Picard:
             seed = int(np.random.SeedSequence().entropy % (2**63))
         key = jax.random.PRNGKey(seed)
 
-        n_components = min(config.n_components or min(n, p), min(n, p))
+        requested = min(n, p) if config.n_components is None else config.n_components
+        n_components = min(requested, min(n, p))
         extended = config.effective_extended()
 
         # Problematic-configuration warning (solver.rs:69-74).
@@ -161,7 +162,9 @@ class Picard:
                 print("FastICA pre-iterations complete.")
 
         # Pre-rotate the data (solver.rs:140).
-        x1 = w_init @ x1
+        # HIGHEST: a default (bf16) pass here would rewrite the data the
+        # core loop then solves to tol=1e-7.
+        x1 = jnp.dot(w_init, x1, precision=jax.lax.Precision.HIGHEST)
         if sharding is not None:
             x1 = jax.lax.with_sharding_constraint(x1, sharding)
 
@@ -195,7 +198,7 @@ class Picard:
         )
 
         # Compose transforms (solver.rs:169).
-        w = core.w @ w_init
+        w = jnp.dot(core.w, w_init, precision=jax.lax.Precision.HIGHEST)
 
         converged = bool(core.converged)
         gradient_norm = float(core.gradient_norm)

@@ -60,18 +60,30 @@ def permute(a, scale: bool = True):
     return a[np.ix_(order, order)]
 
 
-def check_density(density, tol: float = 1e-5) -> bool:
-    """Finite-difference check: score == d/dy log_lik (utils.rs:110-137)."""
+def check_density(density, tol: float = None) -> bool:
+    """Finite-difference check: score == d/dy log_lik (utils.rs:110-137).
+
+    The step and tolerance adapt to the active precision: the
+    reference's eps=1e-7 (utils.rs:118) is below f32 resolution at the
+    test points (spacing at y=2 is 2.4e-7), so without x64 the check
+    uses the f32-optimal central-difference step ~cbrt(eps_f32) and a
+    correspondingly looser tolerance.
+    """
     import jax.numpy as jnp
 
     test_points = np.array([-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0])
-    eps = 1e-7
+    if _x64():
+        eps, dtype = 1e-7, jnp.float64
+        tol = 1e-5 if tol is None else tol
+    else:
+        eps, dtype = 5e-3, jnp.float32
+        tol = 1e-3 if tol is None else tol
 
     for y in test_points:
-        ll_plus = float(density.log_lik(jnp.asarray(y + eps, jnp.float64 if _x64() else jnp.float32)))
-        ll_minus = float(density.log_lik(jnp.asarray(y - eps, jnp.float64 if _x64() else jnp.float32)))
+        ll_plus = float(density.log_lik(jnp.asarray(y + eps, dtype)))
+        ll_minus = float(density.log_lik(jnp.asarray(y - eps, dtype)))
         numerical = (ll_plus - ll_minus) / (2.0 * eps)
-        score, _ = density.score_and_der(jnp.asarray([[y]]))
+        score, _ = density.score_and_der(jnp.asarray([[y]], dtype))
         if abs(numerical - float(score[0, 0])) > tol:
             return False
     return True

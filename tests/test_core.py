@@ -131,13 +131,15 @@ class TestHessianHelpers:
         h_off = np.abs(rng.standard_normal(n)) + 0.1
         lam = 0.01
 
+        # Reference semantics: row-major IN-PLACE scan — a later entry
+        # (j, i) reads the already-bumped (i, j) (lbfgs.rs:155-171).
         expected = h.copy()
         for i in range(n):
             for j in range(n):
                 if i != j:
-                    diff = h[i, j] - h[j, i]
+                    diff = expected[i, j] - expected[j, i]
                     discr = np.sqrt(diff * diff + 4 * h_off[i] * h_off[j])
-                    eig = 0.5 * (h[i, j] + h[j, i] - discr)
+                    eig = 0.5 * (expected[i, j] + expected[j, i] - discr)
                     if eig < lam:
                         expected[i, j] += lam - eig
 
