@@ -71,11 +71,17 @@ class CoreOptions:
     # "bf16x3"/"bf16" pin a single tier (noise floors ~2e-7 / ~2.6e-4
     # cap the reachable tolerance). All tiers are HIGHEST at f64.
     kernel_precision: str = "f32"
-    # Plateau patience for NON-FINAL precision stages: hand off to the
-    # next (more exact) tier after this many iterations without a
-    # gradient-norm improvement — the tier's noise floor depends on the
-    # data, so fixed thresholds alone are fragile. 0 disables (always
-    # 0 for the final stage: the reference runs to max_iter).
+    # Stall patience for NON-FINAL precision stages (0 disables; always
+    # 0 for the final stage, which keeps the reference's run-to-max_iter
+    # semantics). A tier at its data-dependent noise floor is detected
+    # by either signal:
+    #   * two CONSECUTIVE line-search failures (GD fallback) — at the
+    #     floor the measured gradient is noise and even -G fails; in
+    #     healthy phases consecutive fallbacks are rare (a fallback
+    #     clears the memory and the next GD-ish step accepts), or
+    #   * no gradient-norm improvement for `stage_patience` iterations
+    #     (a long window: early trajectories are legitimately
+    #     non-monotone for several iterations).
     stage_patience: int = 0
 
 
@@ -105,9 +111,10 @@ class CoreState(NamedTuple):
     n_iter_done: jnp.ndarray  # i32
     gradient_norm: jnp.ndarray
     converged: jnp.ndarray  # bool
-    # Plateau tracking for staged-precision handoff (reset per stage).
+    # Stall tracking for staged-precision handoff (reset per stage).
     best_gnorm: jnp.ndarray
     since_improve: jnp.ndarray  # i32
+    consec_fallbacks: jnp.ndarray  # i32
 
 
 class CoreResult(NamedTuple):
@@ -117,6 +124,9 @@ class CoreResult(NamedTuple):
     gradient_norm: jnp.ndarray
     n_iterations: jnp.ndarray
     signs: jnp.ndarray
+    # (n_stages,) iteration count at each precision-stage exit
+    # (diagnostics; a single entry for pinned precisions).
+    stage_exits: jnp.ndarray
 
 
 _HI = jax.lax.Precision.HIGHEST
@@ -268,10 +278,14 @@ def data_fused_step(m_new, m_old, x, opts: CoreOptions, need_h: bool, need_ysq: 
             RawMoments(g * inv_t, pm * inv_t, h * inv_t, ysq * inv_t),
         )
 
-    y_new = _dot(m_new, x)
+    # Same cancellation-free formulation as the Pallas kernel: rotate
+    # the delta matrix and evaluate the loss change analytically from
+    # (y_old, dy), so the error is relative to |dy| instead of |ll|.
     y_old = _dot(m_old, x)
-    psi, psi_d, ll_new = opts.density.score_der_loglik(y_new)
-    dll = jnp.mean(ll_new - opts.density.log_lik(y_old), axis=1)
+    dy = _dot(m_new - m_old, x)
+    y_new = y_old + dy
+    psi, psi_d = opts.density.score_and_der(y_new)
+    dll = jnp.mean(opts.density.log_lik_delta(y_old, dy), axis=1)
     g = _dot(psi, y_new.T) * inv_t
     pm = jnp.mean(psi_d, axis=1)
     if need_h:
@@ -281,10 +295,7 @@ def data_fused_step(m_new, m_old, x, opts: CoreOptions, need_h: bool, need_ysq: 
         h = jnp.zeros((n, n), dtype)
     if need_ysq:
         ysq_new_mean = jnp.mean(y_new * y_new, axis=1)
-        # Per-element subtraction BEFORE the reduction: near
-        # convergence the difference is tiny and would vanish in an
-        # absolute-loss compare.
-        dysq = jnp.mean(y_new * y_new - y_old * y_old, axis=1)
+        dysq = jnp.mean((2.0 * y_old + dy) * dy, axis=1)
     else:
         ysq_new_mean = jnp.zeros((n,), dtype)
         dysq = jnp.zeros((n,), dtype)
@@ -624,6 +635,10 @@ def _iteration_update(st: CoreState, x, g, h, h_off, signs, old_signs, sign_chan
         converged=jnp.asarray(False),
         best_gnorm=st.best_gnorm,
         since_improve=st.since_improve,
+        consec_fallbacks=jnp.where(
+            success, jnp.zeros_like(st.consec_fallbacks),
+            st.consec_fallbacks + 1,
+        ),
     )
 
 
@@ -683,11 +698,10 @@ def _iteration_body(st: CoreState, x, covariance, tol, lambda_min, opts: CoreOpt
     gradient_norm = jnp.max(jnp.abs(g))
     converged = gradient_norm < tol
 
-    # Non-final precision stages also exit on a gradient-norm plateau:
-    # the tier's noise floor is data-dependent, so "no improvement for
-    # stage_patience iterations" hands off to the next tier wherever
-    # the floor happens to sit. Disabled (patience 0) for the final
-    # stage — the reference runs to max_iter.
+    # Non-final precision stages also exit when the tier stalls at its
+    # (data-dependent) noise floor: two consecutive line-search
+    # fallbacks, or a long gradient-norm plateau. Disabled (patience 0)
+    # for the final stage — the reference runs to max_iter.
     if opts.stage_patience > 0:
         improved = gradient_norm < st.best_gnorm * 0.99
         best_gnorm = jnp.minimum(st.best_gnorm, gradient_norm)
@@ -695,6 +709,7 @@ def _iteration_body(st: CoreState, x, covariance, tol, lambda_min, opts: CoreOpt
             improved, jnp.zeros_like(st.since_improve), st.since_improve + 1
         )
         converged = converged | (since_improve >= opts.stage_patience)
+        converged = converged | (st.consec_fallbacks >= 2)
     else:
         best_gnorm = st.best_gnorm
         since_improve = st.since_improve
@@ -772,6 +787,7 @@ def init_state(x, covariance, opts: CoreOptions):
         converged=jnp.asarray(False),
         best_gnorm=jnp.asarray(jnp.inf, dtype),
         since_improve=jnp.asarray(0, jnp.int32),
+        consec_fallbacks=jnp.asarray(0, jnp.int32),
     )
     return state, initial_singular
 
@@ -795,7 +811,7 @@ def _precision_stages(opts: CoreOptions):
         # The XLA path always runs HIGHEST; staging would only add
         # boundary re-measures.
         return [("f32", None)]
-    return [("bf16", 1e-3), ("bf16x3", 3e-5), ("f32", None)]
+    return [("bf16", 3e-4), ("bf16x3", 4e-7), ("f32", None)]
 
 
 def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> CoreResult:
@@ -816,6 +832,7 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
     def cond(st: CoreState):
         return (st.it < max_iter) & (~st.converged)
 
+    stage_exits = []
     for idx, (precision, floor) in enumerate(stages):
         final_stage = idx == len(stages) - 1
         stage_opts = dataclasses.replace(
@@ -824,7 +841,7 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
             # Non-final tiers bail to the next tier on a gradient
             # plateau (their noise floor is data-dependent); the final
             # tier honors reference semantics (run to max_iter).
-            stage_patience=0 if final_stage else 3,
+            stage_patience=0 if final_stage else 10,
         )
         stage_tol = tol if floor is None else jnp.maximum(
             jnp.asarray(floor, x.dtype), tol
@@ -840,12 +857,14 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
                 converged=jnp.asarray(False),
                 best_gnorm=jnp.asarray(jnp.inf, x.dtype),
                 since_improve=jnp.asarray(0, jnp.int32),
+                consec_fallbacks=jnp.asarray(0, jnp.int32),
             )
 
         def body(st: CoreState, _opts=stage_opts, _tol=stage_tol):
             return _iteration_body(st, x, covariance, _tol, lambda_min, _opts)
 
         state = lax.while_loop(cond, body, state)
+        stage_exits.append(state.it)
 
     final = state
 
@@ -862,6 +881,7 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
         gradient_norm=final.gradient_norm,
         n_iterations=final.n_iter_done,
         signs=final.signs,
+        stage_exits=jnp.stack(stage_exits),
     )
 
 

@@ -329,36 +329,39 @@ def _rotated_fused_kernel(
     if t % bt != 0:
         x_t = jnp.where(_mask_cols(i, bt, t, x_t.shape), x_t, 0.0)
 
+    # Rotate the CURRENT matrix and the candidate DELTA, not two
+    # absolute rotations: dy = (M_new - M_old) @ x is small near
+    # convergence and carries full relative precision, so the loss
+    # delta below is cancellation-free (error ~eps * |dy| per element
+    # instead of ~eps * |log_lik| for a direct ll_new - ll_old — the
+    # difference between a line search that resolves true decreases at
+    # any tolerance and one whose accepts go noise-driven below
+    # gnorm ~1e-5).
     mm_dims = (((1,), (0,)), ((), ()))
-    y_new = _kernel_dot(m_new_ref[...], x_t, mm_dims, acc, precision)
+    dm = m_new_ref[...] - m_old_ref[...]
     y_old = _kernel_dot(m_old_ref[...], x_t, mm_dims, acc, precision)
+    dy = _kernel_dot(dm, x_t, mm_dims, acc, precision)
+    y_new = y_old + dy
 
-    psi, psi_d, ll_new = density.score_der_loglik(y_new)
-    ll_old = density.log_lik(y_old)
-    # Subtract per element BEFORE reducing: near convergence the true
-    # decrease is far below the absolute f32 loss resolution; the
-    # per-element cancellation keeps it resolvable.
-    dll = ll_new - ll_old
+    psi, psi_d = density.score_and_der(y_new)
+    dll = density.log_lik_delta(y_old, dy)  # exact at padding (0,0) -> 0
     if t % bt != 0:
-        mask = _mask_cols(i, bt, t, dll.shape)
-        dll = jnp.where(mask, dll, 0.0)   # log_lik(0) != 0
-        psi_d = jnp.where(mask, psi_d, 0.0)  # psi'(0) != 0
+        psi_d = jnp.where(_mask_cols(i, bt, t, psi_d.shape), psi_d, 0.0)
 
     ct_dims = (((1,), (1,)), ((), ()))
     dll_ref[0] = jnp.sum(dll, axis=1, keepdims=True)
     g_ref[0] = _kernel_dot(psi, y_new, ct_dims, acc, precision)
     pm_ref[0] = jnp.sum(psi_d, axis=1, keepdims=True)
 
-    if need_h or need_ysq:
-        ysq_new = y_new * y_new
     if need_ysq:
-        dysq_ref[0] = jnp.sum(ysq_new - y_old * y_old, axis=1, keepdims=True)
-        ysq_ref[0] = jnp.sum(ysq_new, axis=1, keepdims=True)
+        # y_new^2 - y_old^2 = (2 y_old + dy) dy — also cancellation-free.
+        dysq_ref[0] = jnp.sum((2.0 * y_old + dy) * dy, axis=1, keepdims=True)
+        ysq_ref[0] = jnp.sum(y_new * y_new, axis=1, keepdims=True)
     else:
         dysq_ref[0] = jnp.zeros_like(dysq_ref[0])
         ysq_ref[0] = jnp.zeros_like(ysq_ref[0])
     if need_h:
-        h_ref[0] = _kernel_dot(psi_d, ysq_new, ct_dims, acc, precision)
+        h_ref[0] = _kernel_dot(psi_d, y_new * y_new, ct_dims, acc, precision)
     else:
         h_ref[0] = jnp.zeros_like(h_ref[0])
 

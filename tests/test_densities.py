@@ -67,3 +67,39 @@ def test_density_type_constructors():
 def test_densities_hashable_for_jit_static():
     assert hash(Tanh()) == hash(Tanh(1.0))
     assert Tanh(1.0) != Tanh(2.0)
+
+
+def test_log_lik_delta_matches_direct_subtraction():
+    """Analytic delta == ll(y+dy) - ll(y) at f64 accuracy, including
+    sign crossings and tiny steps."""
+    import numpy as np
+
+    from picard_ica_tpu.ops.densities import Cube, Exp, Tanh
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((3, 512)) * 2.0)
+    for scale in [1.0, 1e-4, 1e-9]:
+        dy = jnp.asarray(rng.standard_normal((3, 512)) * scale)
+        for den in [Tanh(), Tanh(0.7), Exp(0.5), Cube()]:
+            direct = np.asarray(den.log_lik(y + dy) - den.log_lik(y))
+            analytic = np.asarray(den.log_lik_delta(y, dy))
+            # The DIRECT subtraction carries ~eps * |log_lik| noise
+            # (that is the point of the analytic form), so compare in
+            # absolute terms at that noise level.
+            np.testing.assert_allclose(analytic, direct, atol=5e-13, rtol=1e-5)
+
+
+def test_log_lik_delta_first_order_consistency():
+    """For infinitesimal dy, delta ~= psi(y) * dy (score = d ll/dy)."""
+    import numpy as np
+
+    from picard_ica_tpu.ops.densities import Cube, Exp, Tanh
+
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.standard_normal((2, 256)))
+    dy = jnp.asarray(rng.standard_normal((2, 256)) * 1e-10)
+    for den in [Tanh(), Exp(0.5), Cube()]:
+        psi, _ = den.score_and_der(y)
+        expected = np.asarray(psi) * np.asarray(dy)
+        got = np.asarray(den.log_lik_delta(y, dy))
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-24)
