@@ -86,7 +86,9 @@ def group_criterion_grid(records, reps, quick):
     for t in sizes:
         for n in comps:
             x = _bench_data(n, t)
-            cfg = PicardConfig(random_state=42, max_iter=500, tol=1e-4)
+            # Reference defaults: tol=1e-7, max_iter=500 (config.rs:64-85) —
+            # reachable in f32 via the fused kernels + staged precision.
+            cfg = PicardConfig(random_state=42, max_iter=500, tol=1e-7)
             secs, res = _time_fit(x, cfg, reps)
             records.append({
                 "group": "picard_default", "n": n, "t": t,
@@ -104,7 +106,7 @@ def group_n_components(records, reps):
     n, t = 50, 5000
     x = _bench_data(n, t)
     for k in [5, 10, 25, 50]:
-        cfg = PicardConfig(n_components=k, max_iter=100, random_state=42, tol=1e-4)
+        cfg = PicardConfig(n_components=k, max_iter=100, random_state=42, tol=1e-7)
         secs, res = _time_fit(x, cfg, reps)
         records.append({
             "group": "picard_n_components", "n": n, "t": t, "k": k,
@@ -121,7 +123,7 @@ def group_ortho(records, reps):
     x = _bench_data(n, t)
     for ortho in [False, True]:
         cfg = PicardConfig(n_components=25, ortho=ortho, max_iter=100,
-                           random_state=42, tol=1e-4)
+                           random_state=42, tol=1e-7)
         secs, res = _time_fit(x, cfg, reps)
         records.append({
             "group": "picard_ortho", "ortho": ortho,
@@ -138,7 +140,7 @@ def group_extended(records, reps):
     x = _bench_data(n, t)
     for extended in [False, True]:
         cfg = PicardConfig(n_components=25, extended=extended, max_iter=100,
-                           random_state=42, tol=1e-4)
+                           random_state=42, tol=1e-7)
         secs, res = _time_fit(x, cfg, reps)
         records.append({
             "group": "picard_extended", "extended": extended,
@@ -190,7 +192,7 @@ def group_baseline_configs(records, reps, quick):
     from picard_ica_tpu.utils.metrics import amari_distance
 
     on_tpu = jax.default_backend() == "tpu"
-    tol = 1e-7 if on_tpu else 1e-7  # fused f32 kernels reach 1e-7 at bench N/T
+    tol = 1e-7
 
     def mixing_of(n, t, seed=42):
         states, state = _lcg_stream(seed, n * t)
@@ -202,7 +204,7 @@ def group_baseline_configs(records, reps, quick):
     # metric: the oracle is the reference-semantics f64 ground truth).
     n, t = 8, 10_000
     x = _bench_data(n, t)
-    cfg = PicardConfig(random_state=42, tol=1e-4)
+    cfg = PicardConfig(random_state=42, tol=1e-7)  # reference default tol
     secs, res = _time_fit(x, cfg, reps)
     amari = amari_distance(np.asarray(res.full_unmixing()), mixing_of(n, t))
     rec = {
@@ -212,16 +214,38 @@ def group_baseline_configs(records, reps, quick):
     from picard_ica_tpu import native
 
     if native.available():
-        xc, _ = native.oracle_center(np.asarray(x, np.float64))
+        from picard_ica_tpu.utils.datagen import generate_bench_data
+
+        xc, _ = native.oracle_center(
+            np.asarray(generate_bench_data(n, t, seed=42), np.float64)
+        )
         xw, k_o = native.oracle_whiten(xc, n)
         res_o = native.oracle_core(xw, np.eye(n), max_iter=500, tol=1e-7)
         w_full_oracle = res_o["w"] @ k_o
+        # Default-config fit vs the oracle: at T=10k the empirical loss
+        # has multiple shallow near-optima, so this row partly measures
+        # basin choice (trajectory-dependent).
         rec["amari_vs_oracle"] = amari_distance(
             np.asarray(res.full_unmixing()), np.linalg.pinv(w_full_oracle)
         )
+        # Matched-start pinned-f32 fit: quantifies the f32 basin spread
+        # specifically (identity init removes the RNG variable). At
+        # T=10k the near-optima sit ~1e-3 Amari apart and f32-vs-f64
+        # trajectories fork chaotically mid-run, so BOTH f32 rows
+        # measure basin choice. EXACT trajectory conformance to the
+        # reference-semantics oracle (Amari < 1e-9, identical iteration
+        # counts) is established at f64 by tests/test_native.py.
+        res_m = Picard.fit(x, PicardConfig(
+            random_state=42, tol=1e-7, w_init=np.eye(n),
+            kernel_precision="f32",
+        ))
+        rec["amari_vs_oracle_matched_f32"] = amari_distance(
+            np.asarray(res_m.full_unmixing()), np.linalg.pinv(w_full_oracle)
+        )
     records.append(rec)
     print(f"baseline 1 (8x10k fit): {secs*1e3:.1f} ms amari={amari:.2e} "
-          f"amari_vs_oracle={rec.get('amari_vs_oracle', float('nan')):.2e}",
+          f"amari_vs_oracle={rec.get('amari_vs_oracle', float('nan')):.2e} "
+          f"matched={rec.get('amari_vs_oracle_matched_f32', float('nan')):.2e}",
           file=sys.stderr)
 
     core_kw = dict(density=Tanh(), ortho=True, extended=True, has_cov=True,
@@ -246,7 +270,7 @@ def group_baseline_configs(records, reps, quick):
     # Config 4: JADE(50) warm start -> Picard, 128 x 1M.
     n, t = (64, 200_000) if quick else (128, 1_000_000)
     x, mixing = _mixed_data(n, t, seed=7)
-    cfg = PicardConfig(jade_it=50, random_state=0, tol=1e-4, max_iter=200)
+    cfg = PicardConfig(jade_it=50, random_state=0, tol=1e-7, max_iter=200)
     secs, res = _time_fit(x, cfg, 1)
     amari = amari_distance(np.asarray(res.full_unmixing()), mixing)
     records.append({
