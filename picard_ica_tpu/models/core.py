@@ -68,8 +68,9 @@ class CoreOptions:
     # bf16 -> bf16x3 -> f32 schedule (see _precision_stages; ~1.4x
     # end-to-end at N=64/T=4M), "f32" = exact 6-pass dots throughout
     # (the conservative default for direct CoreOptions users),
-    # "bf16x3"/"bf16" pin a single tier (noise floors ~2e-7 / ~2.6e-4
-    # cap the reachable tolerance). All tiers are HIGHEST at f64.
+    # "bf16x3"/"bf16" pin a single tier (measured gradient floors
+    # ~1.5e-7 / ~1.2e-4 with the analytic delta cap the reachable
+    # tolerance). All tiers are HIGHEST at f64.
     kernel_precision: str = "f32"
     # Stall patience for NON-FINAL precision stages (0 disables; always
     # 0 for the final stage, which keeps the reference's run-to-max_iter
@@ -284,8 +285,8 @@ def data_fused_step(m_new, m_old, x, opts: CoreOptions, need_h: bool, need_ysq: 
     y_old = _dot(m_old, x)
     dy = _dot(m_new - m_old, x)
     y_new = y_old + dy
-    psi, psi_d = opts.density.score_and_der(y_new)
-    dll = jnp.mean(opts.density.log_lik_delta(y_old, dy), axis=1)
+    psi, psi_d, dll_el = opts.density.score_der_loglik_delta(y_old, dy)
+    dll = jnp.mean(dll_el, axis=1)
     g = _dot(psi, y_new.T) * inv_t
     pm = jnp.mean(psi_d, axis=1)
     if need_h:
@@ -351,10 +352,6 @@ def _push_memory(mem: LbfgsMemory, s, y, r, do_push) -> LbfgsMemory:
         jnp.where(do_push, r_mem, mem.r_mem),
         jnp.where(do_push, count, mem.count),
     )
-
-
-def _clear_memory(mem: LbfgsMemory) -> LbfgsMemory:
-    return LbfgsMemory(mem.s_mem, mem.y_mem, mem.r_mem, jnp.zeros_like(mem.count))
 
 
 def solve_hessian_system(h, h_off, g):
@@ -841,7 +838,7 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
             # Non-final tiers bail to the next tier on a gradient
             # plateau (their noise floor is data-dependent); the final
             # tier honors reference semantics (run to max_iter).
-            stage_patience=0 if final_stage else 10,
+            stage_patience=0 if final_stage else (opts.stage_patience or 10),
         )
         stage_tol = tol if floor is None else jnp.maximum(
             jnp.asarray(floor, x.dtype), tol

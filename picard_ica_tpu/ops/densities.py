@@ -53,16 +53,6 @@ class Density(Protocol):
         """Return ``(score, score_derivative)``, each shaped like ``y``."""
         ...
 
-    def score_der_loglik(self, y) -> Tuple:
-        """Return ``(score, score_derivative, log_lik)`` in one pass.
-
-        Used by the fused hot-loop kernels; implementations share the
-        transcendental subexpressions (one exp instead of two for
-        tanh/exp densities) — on TPU the VPU transcendentals are a
-        significant slice of the per-iteration time at large T.
-        """
-        ...
-
     def log_lik_delta(self, y_old, dy):
         """``log_lik(y_old + dy) - log_lik(y_old)`` WITHOUT cancellation.
 
@@ -71,6 +61,18 @@ class Density(Protocol):
         subtraction leaves ~eps-of-log_lik noise per element, which is
         what floors the line search's accept test near convergence
         (true per-step decreases fall below it long before tol=1e-7).
+        Robust to extreme tails: when the step is large the identity
+        falls back to a direct difference of the (order-of-magnitude
+        separated, hence cancellation-safe) endpoint terms instead of a
+        0 * inf underflow-times-overflow product.
+        """
+        ...
+
+    def score_der_loglik_delta(self, y_old, dy) -> Tuple:
+        """Return ``(score(y_new), score_der(y_new), log_lik_delta)``
+        with y_new = y_old + dy, sharing transcendental subexpressions
+        — THE method the fused hot-loop kernel calls (one pass gives
+        the accept test's loss delta and the candidate's score terms).
         """
         ...
 
@@ -92,32 +94,46 @@ class Tanh:
         score = jnp.tanh(a * y)
         return score, a * (1.0 - score * score)
 
-    def score_der_loglik(self, y):
-        # Share e = exp(-2a|y|) between tanh and log1p:
-        #   tanh(a*y) = sign(y) * (1 - e) / (1 + e)
-        #   log_lik   = |y| + log1p(e) / a
-        a = self.alpha
-        abs_y = jnp.abs(y)
-        e = jnp.exp(-2.0 * a * abs_y)
-        t = (1.0 - e) / (1.0 + e)
-        score = jnp.sign(y) * t
-        return score, a * (1.0 - t * t), abs_y + jnp.log1p(e) / a
-
     def log_lik_delta(self, y_old, dy):
-        # With d_abs = |y_old + dy| - |y_old| (computed exactly as
-        # sign(y_old) * dy when no sign crossing; directly — both
-        # operands tiny — when there is one):
-        #   ll(a) - ll(b) = d_abs + [log1p(e_a) - log1p(e_b)] / alpha
-        # and log1p(e_a) - log1p(e_b) = log1p(e_b*expm1(-2a*d_abs)/(1+e_b)).
+        _, _, dll = self.score_der_loglik_delta(y_old, dy)
+        return dll
+
+    def score_der_loglik_delta(self, y_old, dy):
+        # Shared e_a = exp(-2a|y_new|):
+        #   tanh(a*y_new) = sign(y_new) * (1 - e_a) / (1 + e_a)
+        # Delta with d_abs = |y_new| - |y_old| (exactly sign(y_old)*dy
+        # when no sign crossing; directly — both operands tiny — when
+        # there is one):
+        #   ll(new) - ll(old) = d_abs + [log1p(e_a) - log1p(e_b)] / a
+        # and log1p(e_a) - log1p(e_b) = log1p((e_a - e_b)/(1 + e_b)),
+        # where e_a - e_b is evaluated as e_b * expm1(-2a*d_abs) for
+        # small steps (full relative precision in the delta) and as the
+        # direct difference for large ones — the product form there is
+        # an underflow * overflow = NaN trap (e.g. y_old=90, dy=-45),
+        # while the direct difference is cancellation-safe once the
+        # endpoints differ by >= 40%.
         a = self.alpha
         y_new = y_old + dy
+        abs_new = jnp.abs(y_new)
         abs_old = jnp.abs(y_old)
-        crossing = jnp.abs(y_old) <= jnp.abs(dy)
-        d_abs = jnp.where(crossing, jnp.abs(y_new) - abs_old,
-                          jnp.sign(y_old) * dy)
+        e_a = jnp.exp(-2.0 * a * abs_new)
         e_b = jnp.exp(-2.0 * a * abs_old)
-        num = e_b * _expm1(-2.0 * a * d_abs)
-        return d_abs + jnp.log1p(num / (1.0 + e_b)) / a
+
+        t_th = (1.0 - e_a) / (1.0 + e_a)
+        score = jnp.sign(y_new) * t_th
+        score_der = a * (1.0 - t_th * t_th)
+
+        crossing = abs_old <= jnp.abs(dy)
+        d_abs = jnp.where(crossing, abs_new - abs_old, jnp.sign(y_old) * dy)
+        t = -2.0 * a * d_abs
+        small = jnp.abs(t) < 0.5
+        num = jnp.where(
+            small,
+            e_b * _expm1(jnp.clip(t, -0.5, 0.5)),
+            e_a - e_b,
+        )
+        dll = d_abs + jnp.log1p(num / (1.0 + e_b)) / a
+        return score, score_der, dll
 
 
 @dataclasses.dataclass(frozen=True)
@@ -136,19 +152,37 @@ class Exp:
         k = jnp.exp(-a / 2.0 * y_sq)
         return y * k, (1.0 - a * y_sq) * k
 
-    def score_der_loglik(self, y):
-        a = self.alpha
-        y_sq = y * y
-        k = jnp.exp(-a / 2.0 * y_sq)  # shared between all three outputs
-        return y * k, (1.0 - a * y_sq) * k, -k / a
-
     def log_lik_delta(self, y_old, dy):
-        # ll(a) - ll(b) = [e^{-a b^2/2} - e^{-a a^2/2}] / alpha
-        #              = -e^{-a b^2/2} * expm1(-a*(2 y_old + dy)*dy/2) / alpha
-        # using a^2 - b^2 = (2 y_old + dy) * dy (no cancellation).
+        _, _, dll = self.score_der_loglik_delta(y_old, dy)
+        return dll
+
+    def score_der_loglik_delta(self, y_old, dy):
+        # Shared k_a = exp(-a*y_new^2/2) between score, derivative and
+        # the delta. Delta:
+        #   ll(new) - ll(old) = (k_b - k_a) / a
+        #                     = -k_b * expm1(-a*(2 y_old + dy)*dy/2) / a
+        # using y_new^2 - y_old^2 = (2 y_old + dy)*dy (no cancellation).
+        # The product form is kept for small exponents (full relative
+        # precision); large ones use the direct difference, which is
+        # cancellation-safe there and immune to the underflow *
+        # overflow = NaN trap (e.g. y_old=13.5, dy=-12).
         a = self.alpha
+        y_new = y_old + dy
+        y_sq = y_new * y_new
+        k_a = jnp.exp(-a / 2.0 * y_sq)
         k_b = jnp.exp(-a / 2.0 * y_old * y_old)
-        return -k_b * _expm1(-a / 2.0 * (2.0 * y_old + dy) * dy) / a
+
+        score = y_new * k_a
+        score_der = (1.0 - a * y_sq) * k_a
+
+        q = -a / 2.0 * (2.0 * y_old + dy) * dy
+        small = jnp.abs(q) < 0.5
+        dll = jnp.where(
+            small,
+            -k_b * _expm1(jnp.clip(q, -0.5, 0.5)) / a,
+            (k_b - k_a) / a,
+        )
+        return score, score_der, dll
 
 
 @dataclasses.dataclass(frozen=True)
@@ -162,14 +196,15 @@ class Cube:
     def score_and_der(self, y):
         return y * y * y, 3.0 * y * y
 
-    def score_der_loglik(self, y):
-        y2 = y * y
-        return y2 * y, 3.0 * y2, y2 * y2 / 4.0
-
     def log_lik_delta(self, y_old, dy):
         # (a^4 - b^4)/4 = (a^2 + b^2)(a + b) dy / 4 — exact factoring.
         y_new = y_old + dy
         return (y_new * y_new + y_old * y_old) * (y_new + y_old) * dy / 4.0
+
+    def score_der_loglik_delta(self, y_old, dy):
+        y_new = y_old + dy
+        y2 = y_new * y_new
+        return y2 * y_new, 3.0 * y2, self.log_lik_delta(y_old, dy)
 
 
 class DensityType:

@@ -88,7 +88,8 @@ def _kernel_dot(a, b, dims, acc, precision: str):
     Measured device time at the hot shapes (N=64, bt=4096, 244 tiles,
     rotate + contraction): "f32" (HIGHEST, 6-pass) 1.03 ms, "bf16x3"
     0.54 ms, "bf16" (1-pass, at the HBM floor) 0.34 ms. Gradient-norm
-    floors: f32 < 1e-8, bf16x3 ~2e-7, bf16 ~2.6e-4 — the staged
+    floors (with the analytic line-search delta): f32 < 1e-8,
+    bf16x3 ~1.5e-7, bf16 ~1.2e-4 — the staged
     schedule in models/core.py uses each tier down to a safe multiple
     of its floor. All tiers fall through to HIGHEST at f64 (CPU
     conformance), where bf16 splitting would LOSE precision.
@@ -109,16 +110,20 @@ def _tile_t(n: int, t: int) -> int:
     """Pick a T-tile: multiple of 128 lanes, VMEM-friendly vs N.
 
     The fused line-search kernel holds the deepest working set: the
-    x tile (double-buffered by the pipeline), two rotated copies, the
-    score/derivative/log-lik intermediates and the delta — about 9
-    live (N, bt) f32 buffers at peak. A ~1.25MB x tile keeps that
-    near 11MB, under the 16MB scoped-VMEM limit for any N (verified
-    up to N=256 at T=2M; 2MB tiles compile-OOM at N=128).
+    x tile (double-buffered by the pipeline), the rotated copies, the
+    score/derivative/delta intermediates — about 9 live (N, bt) f32
+    buffers at peak — plus the two resident (N, N) weight blocks. The
+    budget keeps that near ~12MB of the 16MB scoped-VMEM limit
+    (verified to N=256 at T=2M; 2MB x-tiles compile-OOM at N=128).
+    Beyond N ~ 700 the weight blocks alone approach the limit — the
+    solver routes such sizes to the XLA path (see solver.py).
     """
     if t <= 512:
         # Tiny inputs (tests): one tile, rounded up to the lane width.
         return max(128, -(-t // 128) * 128)
-    budget = 1280 * 1024 // max(n * 4, 1)
+    weights = 2 * n * n * 4
+    avail = 12 * 1024 * 1024 - weights
+    budget = max(avail, 0) // (11 * n * 4)
     bt = max(256, min(4096, budget))
     return (bt // 128) * 128
 
@@ -343,8 +348,10 @@ def _rotated_fused_kernel(
     dy = _kernel_dot(dm, x_t, mm_dims, acc, precision)
     y_new = y_old + dy
 
-    psi, psi_d = density.score_and_der(y_new)
-    dll = density.log_lik_delta(y_old, dy)  # exact at padding (0,0) -> 0
+    # One fused density call: score/derivative of the candidate and the
+    # cancellation-free loss delta share their transcendentals; exact 0
+    # at the (0, 0) padding.
+    psi, psi_d, dll = density.score_der_loglik_delta(y_old, dy)
     if t % bt != 0:
         psi_d = jnp.where(_mask_cols(i, bt, t, psi_d.shape), psi_d, 0.0)
 

@@ -178,8 +178,13 @@ class Picard:
         use_pallas = config.use_pallas
         if use_pallas is None:
             # Fused kernels are the fast path on TPU; elsewhere the XLA
-            # path is both faster and f64-capable.
-            use_pallas = jax.default_backend() == "tpu"
+            # path is both faster and f64-capable. Above N ~ 700 the
+            # kernel's two resident (N, N) weight blocks approach the
+            # 16MB scoped-VMEM limit (ops/pallas_kernels._tile_t), so
+            # huge-N fits route to the XLA path.
+            use_pallas = (
+                jax.default_backend() == "tpu" and actual_components <= 512
+            )
 
         opts = CoreOptions(
             density=config.density,

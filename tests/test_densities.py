@@ -103,3 +103,47 @@ def test_log_lik_delta_first_order_consistency():
         expected = np.asarray(psi) * np.asarray(dy)
         got = np.asarray(den.log_lik_delta(y, dy))
         np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-24)
+
+
+def test_log_lik_delta_extreme_tails_no_nan():
+    """Underflow * overflow (0 * inf) regression: large |y_old| with an
+    origin-ward step must give a finite, accurate delta (the product
+    form e_b * expm1(t) NaNs at e.g. Tanh(90, -45), Exp(13.5, -12))."""
+    import numpy as np
+
+    from picard_ica_tpu.ops.densities import Cube, Exp, Tanh
+
+    cases = [
+        (Tanh(), 90.0, -45.0),
+        (Tanh(), -90.0, 45.0),
+        (Exp(), 13.5, -12.0),
+        (Exp(0.5), 20.0, -18.0),
+        (Cube(), 50.0, -20.0),
+    ]
+    for den, y0, d in cases:
+        y0_a = jnp.asarray([[y0]])
+        d_a = jnp.asarray([[d]])
+        got = float(den.log_lik_delta(y0_a, d_a)[0, 0])
+        want = float(den.log_lik(y0_a + d_a)[0, 0] - den.log_lik(y0_a)[0, 0])
+        assert np.isfinite(got), f"{den} NaN at ({y0}, {d})"
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_score_der_loglik_delta_consistent():
+    """The fused method equals its separate primitives."""
+    import numpy as np
+
+    from picard_ica_tpu.ops.densities import Cube, Exp, Tanh
+
+    rng = np.random.default_rng(2)
+    y0 = jnp.asarray(rng.standard_normal((2, 256)) * 2)
+    dy = jnp.asarray(rng.standard_normal((2, 256)) * 0.1)
+    for den in [Tanh(), Tanh(0.7), Exp(0.5), Cube()]:
+        psi_f, psi_d_f, dll_f = den.score_der_loglik_delta(y0, dy)
+        psi, psi_d = den.score_and_der(y0 + dy)
+        np.testing.assert_allclose(np.asarray(psi_f), np.asarray(psi), rtol=1e-10, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(psi_d_f), np.asarray(psi_d), rtol=1e-10, atol=1e-13)
+        np.testing.assert_allclose(
+            np.asarray(dll_f), np.asarray(den.log_lik_delta(y0, dy)),
+            rtol=1e-12, atol=1e-14,
+        )

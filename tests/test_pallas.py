@@ -146,18 +146,6 @@ def test_rotated_fused_match_dense(density, t):
     np.testing.assert_allclose(np.asarray(ysq), (y_new * y_new).sum(axis=1), rtol=1e-9, atol=1e-9)
 
 
-@pytest.mark.parametrize("density", [Tanh(), Exp(0.7), Cube()], ids=str)
-def test_score_der_loglik_consistent(density):
-    """The fused density method equals its three separate primitives."""
-    y = jnp.asarray(np.linspace(-4, 4, 257).reshape(1, -1))
-    psi_f, psi_d_f, ll_f = density.score_der_loglik(y)
-    psi, psi_d = density.score_and_der(y)
-    ll = density.log_lik(y)
-    np.testing.assert_allclose(np.asarray(psi_f), np.asarray(psi), rtol=1e-12, atol=1e-14)
-    np.testing.assert_allclose(np.asarray(psi_d_f), np.asarray(psi_d), rtol=1e-12, atol=1e-14)
-    np.testing.assert_allclose(np.asarray(ll_f), np.asarray(ll), rtol=1e-12, atol=1e-14)
-
-
 def test_data_moments_dispatch_equivalence():
     rng = np.random.default_rng(4)
     w = jnp.asarray(rng.standard_normal((5, 5)) * 0.4)
