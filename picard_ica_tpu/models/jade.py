@@ -125,9 +125,16 @@ def compute_cumulant_matrices(x, chunk_size: int = 4096, data_sharding=None):
         def local(x_local):
             return lax.psum(_pair_product_gram(x_local, chunk_size), axis)
 
-        gram = shard_map(
-            local, mesh=mesh, in_specs=P(None, axis), out_specs=P()
-        )(x)
+        kwargs = dict(mesh=mesh, in_specs=P(None, axis), out_specs=P())
+        try:
+            # The scan's zero-initialized carry is unvarying while the
+            # accumulated partial varies over the samples axis; the
+            # explicit psum makes the output replicated regardless, so
+            # skip the varying-manual-axes check (same pattern as
+            # models/core._shard_mapped).
+            gram = shard_map(local, check_vma=False, **kwargs)(x)
+        except TypeError:  # pragma: no cover - older jax spelling
+            gram = shard_map(local, check_rep=False, **kwargs)(x)
     else:
         gram = _pair_product_gram(x, chunk_size)
 

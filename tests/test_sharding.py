@@ -131,3 +131,54 @@ def test_non_divisible_samples_rejected(eight_device_mesh):
     _, _, x = generate_test_data(3, 4001, 7)
     with pytest.raises(InvalidDimensionsError, match="divisible by the mesh size"):
         Picard.fit(x, PicardConfig(random_state=0), mesh=eight_device_mesh)
+
+
+def test_jade_sharded_matches_unsharded(eight_device_mesh):
+    """JADE warm start: explicit psum cumulant Gram on the mesh equals
+    the single-device computation."""
+    import jax
+
+    from picard_ica_tpu.models.jade import compute_cumulant_matrices, jade_jit
+    from picard_ica_tpu.ops.whitening import center, whiten
+    from picard_ica_tpu.parallel import data_sharding
+    from picard_ica_tpu.utils.datagen import generate_mixed_kurtosis_data
+
+    n, t = 4, 8192
+    _, _, x = generate_mixed_kurtosis_data(n, t, seed=5)
+    xw = whiten(center(jnp.asarray(x))[0], n).data
+
+    sharding = data_sharding(eight_device_mesh)
+    xw_sharded = jax.device_put(xw, sharding)
+
+    cum_plain = compute_cumulant_matrices(xw)
+    cum_shard = compute_cumulant_matrices(xw_sharded, data_sharding=sharding)
+    np.testing.assert_allclose(
+        np.asarray(cum_shard), np.asarray(cum_plain), rtol=1e-10, atol=1e-10
+    )
+
+    w_plain, _ = jade_jit(xw, 30, 1e-6, False)
+    w_shard, _ = jade_jit(xw_sharded, 30, 1e-6, False, data_sharding=sharding)
+    np.testing.assert_allclose(
+        np.asarray(w_shard), np.asarray(w_plain), rtol=1e-8, atol=1e-9
+    )
+
+
+def test_transform_on_sharded_data(eight_device_mesh):
+    """Picard.transform applied to mesh-sharded new data matches the
+    unsharded transform (GSPMD handles the K/W application)."""
+    import jax
+
+    from picard_ica_tpu import Picard, PicardConfig
+    from picard_ica_tpu.parallel import data_sharding
+    from picard_ica_tpu.utils.datagen import generate_test_data
+
+    _, _, x = generate_test_data(4, 16000, seed=13)
+    result = Picard.fit(x, PicardConfig(random_state=0, max_iter=100))
+
+    y_plain = Picard.transform(x, result)
+    x_sharded = jax.device_put(jnp.asarray(x, y_plain.dtype),
+                               data_sharding(eight_device_mesh))
+    y_shard = Picard.transform(x_sharded, result)
+    np.testing.assert_allclose(
+        np.asarray(y_shard), np.asarray(y_plain), rtol=1e-10, atol=1e-10
+    )
