@@ -41,8 +41,9 @@ def _build() -> bool:
     if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= newest_src:
         return True
     cmd = [
-        "g++", "-O3", "-march=native", "-fopenmp", "-fPIC", "-shared",
-        "-std=c++17", "-o", _LIB_PATH, *sources,
+        "g++", "-O3", "-march=native", "-fno-math-errno", "-fopenmp",
+        "-fPIC", "-shared", "-std=c++17", "-o", _LIB_PATH, *sources,
+        "-lmvec",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)

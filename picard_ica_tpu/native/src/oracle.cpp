@@ -29,6 +29,21 @@
 #include <cstdio>
 #include <cstdlib>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+// glibc libmvec AVX-512 vector math: 8 doubles per call, <= 4 ulp.
+// Used for the O(N*T) transcendental passes (score + log-lik) that
+// dominate oracle runtime at conformance scales (T >= 100k); the <=4ulp
+// elementwise difference vs scalar libm is far below the amari < 1e-9
+// lockstep tolerance in tests/test_native.py.
+extern "C" {
+__m512d _ZGVeN8v_tanh(__m512d);
+__m512d _ZGVeN8v_exp(__m512d);
+__m512d _ZGVeN8v_log1p(__m512d);
+}
+#define PICARD_ORACLE_AVX512 1
+#endif
+
 namespace {
 
 using std::size_t;
@@ -56,10 +71,128 @@ Mat eye(int n) {
     return m;
 }
 
-// C = A * B
+// Dot product with manual 4x8-wide FMA accumulators (a plain reduction
+// loop will not vectorize without -ffast-math reassociation).
+double vdot(const double *a, const double *b, int n) {
+#ifdef PICARD_ORACLE_AVX512
+    __m512d a0 = _mm512_setzero_pd(), a1 = _mm512_setzero_pd();
+    __m512d a2 = _mm512_setzero_pd(), a3 = _mm512_setzero_pd();
+    int s = 0;
+    for (; s + 32 <= n; s += 32) {
+        a0 = _mm512_fmadd_pd(_mm512_loadu_pd(a + s), _mm512_loadu_pd(b + s), a0);
+        a1 = _mm512_fmadd_pd(_mm512_loadu_pd(a + s + 8),
+                             _mm512_loadu_pd(b + s + 8), a1);
+        a2 = _mm512_fmadd_pd(_mm512_loadu_pd(a + s + 16),
+                             _mm512_loadu_pd(b + s + 16), a2);
+        a3 = _mm512_fmadd_pd(_mm512_loadu_pd(a + s + 24),
+                             _mm512_loadu_pd(b + s + 24), a3);
+    }
+    for (; s + 8 <= n; s += 8)
+        a0 = _mm512_fmadd_pd(_mm512_loadu_pd(a + s), _mm512_loadu_pd(b + s), a0);
+    double acc = _mm512_reduce_add_pd(
+        _mm512_add_pd(_mm512_add_pd(a0, a1), _mm512_add_pd(a2, a3)));
+    for (; s < n; ++s) acc += a[s] * b[s];
+    return acc;
+#else
+    double acc = 0.0;
+    for (int s = 0; s < n; ++s) acc += a[s] * b[s];
+    return acc;
+#endif
+}
+
+#ifdef PICARD_ORACLE_AVX512
+// 4x4 register-blocked dot tile: out[r][c] += a_r . b_c over len.
+// 16 zmm accumulators + 8 streams; compute-bound at FMA throughput.
+void dot4x4(const double *const a[4], const double *const b[4], int len,
+            Mat &out, int i, int j, int t_unused) {
+    (void)t_unused;
+    __m512d acc[4][4];
+    for (int r = 0; r < 4; ++r)
+        for (int c = 0; c < 4; ++c) acc[r][c] = _mm512_setzero_pd();
+    int s = 0;
+    for (; s + 8 <= len; s += 8) {
+        __m512d bv[4];
+        for (int c = 0; c < 4; ++c) bv[c] = _mm512_loadu_pd(b[c] + s);
+        for (int r = 0; r < 4; ++r) {
+            __m512d av = _mm512_loadu_pd(a[r] + s);
+            for (int c = 0; c < 4; ++c)
+                acc[r][c] = _mm512_fmadd_pd(av, bv[c], acc[r][c]);
+        }
+    }
+    for (int r = 0; r < 4; ++r)
+        for (int c = 0; c < 4; ++c) {
+            double v = _mm512_reduce_add_pd(acc[r][c]);
+            for (int s2 = s; s2 < len; ++s2) v += a[r][s2] * b[c][s2];
+            out.at(i + r, j + c) += v;
+        }
+}
+#endif
+
+// C = A * B. AVX-512 path: 16-column zmm strips with 4-row blocks of A
+// broadcast-FMA'd against B's column strip; accumulators live in
+// registers for the whole k sweep so B and C are streamed from DRAM
+// once. B's access is strided (row length apart), which exceeds the
+// hardware prefetcher's stream capacity for N >= ~32 rows, so the next
+// strip's B lines are software-prefetched while the current strip
+// computes.
 Mat matmul(const Mat &a, const Mat &b) {
     Mat out(a.r, b.c);
-#pragma omp parallel for if (a.r * b.c > 4096)
+#ifdef PICARD_ORACLE_AVX512
+    int c0 = 0;
+    for (; c0 + 16 <= b.c; c0 += 16) {
+        if (c0 + 32 <= b.c) {
+            for (int k = 0; k < a.c; ++k) {
+                const char *nxt = reinterpret_cast<const char *>(
+                    &b.d[static_cast<size_t>(k) * b.c + c0 + 16]);
+                _mm_prefetch(nxt, _MM_HINT_T0);
+                _mm_prefetch(nxt + 64, _MM_HINT_T0);
+            }
+        }
+        int i = 0;
+        for (; i + 4 <= a.r; i += 4) {
+            __m512d acc[4][2];
+            for (int r = 0; r < 4; ++r)
+                for (int h = 0; h < 2; ++h) acc[r][h] = _mm512_setzero_pd();
+            for (int k = 0; k < a.c; ++k) {
+                const double *bk = &b.d[static_cast<size_t>(k) * b.c + c0];
+                __m512d b0 = _mm512_loadu_pd(bk);
+                __m512d b1 = _mm512_loadu_pd(bk + 8);
+                for (int r = 0; r < 4; ++r) {
+                    __m512d av = _mm512_set1_pd(a.at(i + r, k));
+                    acc[r][0] = _mm512_fmadd_pd(av, b0, acc[r][0]);
+                    acc[r][1] = _mm512_fmadd_pd(av, b1, acc[r][1]);
+                }
+            }
+            for (int r = 0; r < 4; ++r) {
+                double *orow = &out.d[static_cast<size_t>(i + r) * b.c + c0];
+                _mm512_storeu_pd(orow, acc[r][0]);
+                _mm512_storeu_pd(orow + 8, acc[r][1]);
+            }
+        }
+        for (; i < a.r; ++i) {
+            __m512d a0 = _mm512_setzero_pd(), a1 = _mm512_setzero_pd();
+            for (int k = 0; k < a.c; ++k) {
+                const double *bk = &b.d[static_cast<size_t>(k) * b.c + c0];
+                __m512d av = _mm512_set1_pd(a.at(i, k));
+                a0 = _mm512_fmadd_pd(av, _mm512_loadu_pd(bk), a0);
+                a1 = _mm512_fmadd_pd(av, _mm512_loadu_pd(bk + 8), a1);
+            }
+            double *orow = &out.d[static_cast<size_t>(i) * b.c + c0];
+            _mm512_storeu_pd(orow, a0);
+            _mm512_storeu_pd(orow + 8, a1);
+        }
+    }
+    if (c0 < b.c) {
+        for (int i = 0; i < a.r; ++i) {
+            double *orow = &out.d[static_cast<size_t>(i) * b.c];
+            for (int k = 0; k < a.c; ++k) {
+                double aik = a.at(i, k);
+                const double *brow = &b.d[static_cast<size_t>(k) * b.c];
+                for (int j = c0; j < b.c; ++j) orow[j] += aik * brow[j];
+            }
+        }
+    }
+#else
     for (int i = 0; i < a.r; ++i) {
         for (int k = 0; k < a.c; ++k) {
             double aik = a.at(i, k);
@@ -69,22 +202,49 @@ Mat matmul(const Mat &a, const Mat &b) {
             for (int j = 0; j < b.c; ++j) orow[j] += aik * brow[j];
         }
     }
+#endif
     return out;
 }
 
-// C = A * B^T / scale  (the N x T moment contraction; OpenMP over T)
+// C = A * B^T / scale (the N x T moment contraction), blocked over T so
+// each chunk of both operands is read from memory once (O(N*T) traffic
+// instead of the naive O(N^2*T)), with 4x4 register-tiled dot kernels.
 Mat matmul_bt_scaled(const Mat &a, const Mat &b, double inv_scale) {
     Mat out(a.r, b.r);
-#pragma omp parallel for collapse(2)
-    for (int i = 0; i < a.r; ++i) {
-        for (int j = 0; j < b.r; ++j) {
-            const double *ar = &a.d[static_cast<size_t>(i) * a.c];
-            const double *br = &b.d[static_cast<size_t>(j) * b.c];
-            double acc = 0.0;
-            for (int t = 0; t < a.c; ++t) acc += ar[t] * br[t];
-            out.at(i, j) = acc * inv_scale;
+    int t = a.c;
+    // Chunk so both (N, chunk) panels fit in L2 (~0.5 MB each).
+    int tc = std::max(256, 131072 / std::max(a.r, b.r));
+    for (int t0 = 0; t0 < t; t0 += tc) {
+        int len = std::min(t, t0 + tc) - t0;
+        int i = 0;
+#ifdef PICARD_ORACLE_AVX512
+        for (; i + 4 <= a.r; i += 4) {
+            const double *ar[4];
+            for (int r = 0; r < 4; ++r)
+                ar[r] = &a.d[static_cast<size_t>(i + r) * t + t0];
+            int j = 0;
+            for (; j + 4 <= b.r; j += 4) {
+                const double *br[4];
+                for (int c = 0; c < 4; ++c)
+                    br[c] = &b.d[static_cast<size_t>(j + c) * t + t0];
+                dot4x4(ar, br, len, out, i, j, t);
+            }
+            for (; j < b.r; ++j) {
+                const double *brj = &b.d[static_cast<size_t>(j) * t + t0];
+                for (int r = 0; r < 4; ++r)
+                    out.at(i + r, j) += vdot(ar[r], brj, len);
+            }
+        }
+#endif
+        for (; i < a.r; ++i) {
+            const double *ari = &a.d[static_cast<size_t>(i) * t + t0];
+            for (int j = 0; j < b.r; ++j)
+                out.at(i, j) +=
+                    vdot(ari, &b.d[static_cast<size_t>(j) * t + t0], len);
         }
     }
+    if (inv_scale != 1.0)
+        for (double &x : out.d) x *= inv_scale;
     return out;
 }
 
@@ -263,6 +423,96 @@ struct Density {
             }
         }
     }
+
+    // Vectorized row passes (8-wide via libmvec). Semantics identical
+    // to the scalar forms above / density.rs; scalar tail for t % 8.
+    void score_row(const double *y, double *psi, double *psi_d, int t) const {
+        int s = 0;
+#ifdef PICARD_ORACLE_AVX512
+        const __m512d va = _mm512_set1_pd(alpha);
+        const __m512d one = _mm512_set1_pd(1.0);
+        switch (type) {
+            case kTanh:
+                for (; s + 8 <= t; s += 8) {
+                    __m512d vy = _mm512_loadu_pd(y + s);
+                    __m512d sh = _ZGVeN8v_tanh(_mm512_mul_pd(va, vy));
+                    _mm512_storeu_pd(psi + s, sh);
+                    _mm512_storeu_pd(
+                        psi_d + s,
+                        _mm512_mul_pd(
+                            va, _mm512_fnmadd_pd(sh, sh, one)));
+                }
+                break;
+            case kExp: {
+                const __m512d mhalf_a = _mm512_set1_pd(-0.5 * alpha);
+                for (; s + 8 <= t; s += 8) {
+                    __m512d vy = _mm512_loadu_pd(y + s);
+                    __m512d ysq = _mm512_mul_pd(vy, vy);
+                    __m512d k = _ZGVeN8v_exp(_mm512_mul_pd(mhalf_a, ysq));
+                    _mm512_storeu_pd(psi + s, _mm512_mul_pd(vy, k));
+                    _mm512_storeu_pd(
+                        psi_d + s,
+                        _mm512_mul_pd(_mm512_fnmadd_pd(va, ysq, one), k));
+                }
+                break;
+            }
+            default: {
+                const __m512d three = _mm512_set1_pd(3.0);
+                for (; s + 8 <= t; s += 8) {
+                    __m512d vy = _mm512_loadu_pd(y + s);
+                    __m512d ysq = _mm512_mul_pd(vy, vy);
+                    _mm512_storeu_pd(psi + s, _mm512_mul_pd(ysq, vy));
+                    _mm512_storeu_pd(psi_d + s, _mm512_mul_pd(three, ysq));
+                }
+            }
+        }
+#endif
+        for (; s < t; ++s) score_and_der(y[s], &psi[s], &psi_d[s]);
+    }
+
+    // Sum of log_lik over a row (the line-search loss reduction).
+    double loglik_row_sum(const double *y, int t) const {
+        int s = 0;
+        double tail = 0.0;
+#ifdef PICARD_ORACLE_AVX512
+        __m512d acc = _mm512_setzero_pd();
+        switch (type) {
+            case kTanh: {
+                const __m512d m2a = _mm512_set1_pd(-2.0 * alpha);
+                const __m512d inva = _mm512_set1_pd(1.0 / alpha);
+                for (; s + 8 <= t; s += 8) {
+                    __m512d ay = _mm512_abs_pd(_mm512_loadu_pd(y + s));
+                    __m512d e = _ZGVeN8v_exp(_mm512_mul_pd(m2a, ay));
+                    __m512d l = _ZGVeN8v_log1p(e);
+                    acc = _mm512_add_pd(acc, _mm512_fmadd_pd(l, inva, ay));
+                }
+                break;
+            }
+            case kExp: {
+                const __m512d mhalf_a = _mm512_set1_pd(-0.5 * alpha);
+                const __m512d minva = _mm512_set1_pd(-1.0 / alpha);
+                for (; s + 8 <= t; s += 8) {
+                    __m512d vy = _mm512_loadu_pd(y + s);
+                    __m512d k =
+                        _ZGVeN8v_exp(_mm512_mul_pd(mhalf_a, _mm512_mul_pd(vy, vy)));
+                    acc = _mm512_fmadd_pd(minva, k, acc);
+                }
+                break;
+            }
+            default: {
+                const __m512d quarter = _mm512_set1_pd(0.25);
+                for (; s + 8 <= t; s += 8) {
+                    __m512d vy = _mm512_loadu_pd(y + s);
+                    __m512d ysq = _mm512_mul_pd(vy, vy);
+                    acc = _mm512_fmadd_pd(_mm512_mul_pd(ysq, ysq), quarter, acc);
+                }
+            }
+        }
+        tail = _mm512_reduce_add_pd(acc);
+#endif
+        for (; s < t; ++s) tail += log_lik(y[s]);
+        return tail;
+    }
 };
 
 // ---------------------------------------------------------------------------
@@ -285,14 +535,8 @@ double compute_loss(const Mat &y, const Mat &w, const std::vector<double> &signs
 #pragma omp parallel for reduction(+ : acc_total)
     for (int i = 0; i < n; ++i) {
         const double *row = &y.d[static_cast<size_t>(i) * t];
-        double acc = 0.0;
-        for (int s = 0; s < t; ++s) acc += den.log_lik(row[s]);
-        double term = signs[i] * acc * inv_t;
-        if (extended && !ortho) {
-            double ysq = 0.0;
-            for (int s = 0; s < t; ++s) ysq += row[s] * row[s];
-            term += 0.5 * ysq * inv_t;
-        }
+        double term = signs[i] * den.loglik_row_sum(row, t) * inv_t;
+        if (extended && !ortho) term += 0.5 * vdot(row, row, t) * inv_t;
         acc_total += term;
     }
     loss += acc_total;
@@ -476,10 +720,9 @@ int picard_oracle_core(const double *x, int n, int t, const double *covariance,
         Mat psi(n, t), psi_d(n, t);
 #pragma omp parallel for
         for (int i = 0; i < n; ++i) {
-            const double *yr = &y.d[static_cast<size_t>(i) * t];
-            double *pr = &psi.d[static_cast<size_t>(i) * t];
-            double *dr = &psi_d.d[static_cast<size_t>(i) * t];
-            for (int s = 0; s < t; ++s) den.score_and_der(yr[s], &pr[s], &dr[s]);
+            den.score_row(&y.d[static_cast<size_t>(i) * t],
+                          &psi.d[static_cast<size_t>(i) * t],
+                          &psi_d.d[static_cast<size_t>(i) * t], t);
         }
         Mat g = matmul_bt_scaled(psi, y, inv_t);
 
@@ -691,21 +934,16 @@ int picard_oracle_ica_par(const double *x, int n, int t, int density_type,
     Mat w(n, n);
     std::memcpy(w.d.data(), w_io, sizeof(double) * w.d.size());
     double inv_t = 1.0 / t;
+    std::vector<double> psid_row(t);
     for (int it = 0; it < n_iter; ++it) {
         Mat y = matmul(w, xm);
         Mat psi(n, t);
         std::vector<double> pm(n, 0.0);
-#pragma omp parallel for
         for (int i = 0; i < n; ++i) {
-            const double *yr = &y.d[static_cast<size_t>(i) * t];
-            double *pr = &psi.d[static_cast<size_t>(i) * t];
+            den.score_row(&y.d[static_cast<size_t>(i) * t],
+                          &psi.d[static_cast<size_t>(i) * t], psid_row.data(), t);
             double acc = 0.0;
-            for (int s = 0; s < t; ++s) {
-                double p, pd;
-                den.score_and_der(yr[s], &p, &pd);
-                pr[s] = p;
-                acc += pd;
-            }
+            for (int s = 0; s < t; ++s) acc += psid_row[s];
             pm[i] = acc * inv_t;
         }
         Mat cmat = matmul_bt_scaled(psi, xm, inv_t);
