@@ -290,12 +290,110 @@ def group_baseline_configs(records, reps, quick):
           f"({r['iters']} iters)", file=sys.stderr)
 
 
+def group_oracle_conformance(records):
+    """The BASELINE accuracy target, measured where it is meaningful.
+
+    Amari distance of the f32 TPU solver vs the f64 native oracle
+    (reference semantics; stands in for the absent Rust toolchain) on
+    the bench mixtures at T >= 100k. At small T (the 8x10k criterion
+    mixture) the empirical loss has several near-optima ~1e-3 apart and
+    any cross-precision comparison measures basin choice; at T >= 100k
+    the basins merge and the row measures solver accuracy. Both solvers
+    start from W_init = I on their own whitening of the same f64 data
+    (whitening matrices agree to ~1e-7, tests/test_native.py:67-78).
+
+    Target (BASELINE.md): every row < 1e-3.
+    """
+    from picard_ica_tpu import Picard, PicardConfig, native
+    from picard_ica_tpu.utils.metrics import amari_distance
+
+    if not native.available():
+        print("oracle unavailable; skipping conformance group", file=sys.stderr)
+        return
+
+    cases = [
+        # (label, n, t, mixed_kurtosis, ortho, extended)
+        ("criterion_8x100k", 8, 100_000, False, True, True),
+        ("picard_o_32x100k", 32, 100_000, False, True, True),
+        ("extended_64x500k", 64, 500_000, True, True, True),
+    ]
+    for label, n, t, mixed, ortho, extended in cases:
+        if mixed:
+            from picard_ica_tpu.utils.datagen import generate_mixed_kurtosis_data
+
+            _, _, x64 = generate_mixed_kurtosis_data(n, t, seed=42)
+        else:
+            from picard_ica_tpu.utils.datagen import generate_bench_data
+
+            x64 = np.asarray(generate_bench_data(n, t, seed=42), np.float64)
+
+        t0 = time.perf_counter()
+        xc, _ = native.oracle_center(x64)
+        xw, k_o = native.oracle_whiten(xc, n)
+        res_o = native.oracle_core(
+            xw, np.eye(n) if extended else None, ortho=ortho,
+            extended=extended, max_iter=500, tol=1e-7,
+        )
+        oracle_s = time.perf_counter() - t0
+        w_full_oracle = res_o["w"] @ k_o
+
+        cfg = PicardConfig(
+            ortho=ortho, extended=extended, tol=1e-7, max_iter=500,
+            w_init=np.eye(n),
+        )
+        # f64 input -> the facade's host-f64 preprocessing (the
+        # reference-parity pipeline); the core runs f32 on device.
+        t0 = time.perf_counter()
+        res = Picard.fit(x64, cfg)
+        fit_s = time.perf_counter() - t0
+        amari = amari_distance(
+            np.asarray(res.full_unmixing()), np.linalg.pinv(w_full_oracle)
+        )
+        # All-f32 pipeline (device whitening) for transparency: the f32
+        # covariance's eigengap-amplified K rotation perturbs the data
+        # percent-level, which in chaotic extended mode can land in a
+        # different (reference-reachable) stationary point — the
+        # matched-input solver conformance itself is ~1e-12 (see
+        # tests/test_native.py and docs/DESIGN.md §7).
+        res_dev = Picard.fit(x64.astype(np.float32), cfg)
+        amari_dev = amari_distance(
+            np.asarray(res_dev.full_unmixing()), np.linalg.pinv(w_full_oracle)
+        )
+        records.append({
+            "group": "oracle_conformance", "case": label, "n": n, "t": t,
+            "amari_vs_oracle": amari,
+            "amari_vs_oracle_device_whiten": amari_dev,
+            "target": 1e-3,
+            "pass": bool(amari < 1e-3),
+            "iters": res.n_iterations, "oracle_iters": res_o["n_iterations"],
+            "converged": res.converged, "oracle_converged": res_o["converged"],
+            "fit_wall_s": fit_s, "oracle_wall_s": oracle_s,
+        })
+        print(f"oracle_conformance {label}: amari={amari:.2e} "
+              f"({'PASS' if amari < 1e-3 else 'FAIL'}; "
+              f"tpu {res.n_iterations} it / oracle {res_o['n_iterations']} it; "
+              f"device-whiten pipeline {amari_dev:.2e})",
+              file=sys.stderr)
+
+
+GROUPS = {
+    "criterion": lambda r, a: group_criterion_grid(r, a.reps, a.quick),
+    "n_components": lambda r, a: group_n_components(r, a.reps),
+    "ortho": lambda r, a: group_ortho(r, a.reps),
+    "extended": lambda r, a: group_extended(r, a.reps),
+    "baseline": lambda r, a: group_baseline_configs(r, a.reps, a.quick),
+    "conformance": lambda r, a: group_oracle_conformance(r),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="smaller grid")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--json", default=None, help="write records to this file")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--group", action="append", choices=sorted(GROUPS),
+                    help="run only these groups (default: all)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -310,11 +408,10 @@ def main():
 
     records = []
     t0 = time.perf_counter()
-    group_criterion_grid(records, args.reps, args.quick)
-    group_n_components(records, args.reps)
-    group_ortho(records, args.reps)
-    group_extended(records, args.reps)
-    group_baseline_configs(records, args.reps, args.quick)
+    selected = args.group or ["criterion", "n_components", "ortho",
+                              "extended", "baseline", "conformance"]
+    for name in selected:
+        GROUPS[name](records, args)
     total = time.perf_counter() - t0
 
     out = {

@@ -57,6 +57,17 @@ class PicardConfig:
     # pins the exact 6-pass dots throughout; "bf16x3"/"bf16" pin a
     # single faster tier (their floors cap reachable tolerance).
     kernel_precision: str = "auto"
+    # TPU-native extension: where the one-time center+whiten pass runs.
+    # "auto" (default): f64 NumPy inputs of moderate size (N*T <= 2e8)
+    # are preprocessed on the HOST in f64 — the whitening basis then
+    # matches an all-f64 pipeline (the Rust reference / native oracle)
+    # to ~1e-13, which provably keeps the f32 core's chaotic
+    # extended-mode trajectory in the reference's basin (docs/DESIGN.md
+    # §7); everything else (f32 input, jax/sharded arrays, huge T) uses
+    # the on-device chunked-f32 path. "f64" forces the host path
+    # (errors on non-materializable input); "device" forces the device
+    # path.
+    whiten_precision: str = "auto"
 
     @staticmethod
     def builder() -> "ConfigBuilder":
@@ -87,6 +98,10 @@ class PicardConfig:
             raise InvalidConfigError(
                 "kernel_precision",
                 "must be 'auto', 'f32', 'bf16x3' or 'bf16'",
+            )
+        if self.whiten_precision not in ("auto", "f64", "device"):
+            raise InvalidConfigError(
+                "whiten_precision", "must be 'auto', 'f64' or 'device'"
             )
 
     def replace(self, **kwargs) -> "PicardConfig":
@@ -177,6 +192,10 @@ class ConfigBuilder:
 
     def kernel_precision(self, precision: str) -> "ConfigBuilder":
         self._kwargs["kernel_precision"] = precision
+        return self
+
+    def whiten_precision(self, precision: str) -> "ConfigBuilder":
+        self._kwargs["whiten_precision"] = precision
         return self
 
     def build(self) -> PicardConfig:

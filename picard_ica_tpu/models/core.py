@@ -146,8 +146,21 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _shard_mapped(local_fn, sharding, x, *replicated):
-    """Run ``local_fn(x_shard, *replicated)`` per shard, psum the outputs."""
+def _shard_mapped(local_fn, sharding, x, *replicated, critical_first=False):
+    """Run ``local_fn(x_shard, *replicated)`` per shard, psum the outputs.
+
+    ``critical_first=N`` (int) reduces the first N outputs with their
+    own psum and orders the remaining psums after them through an
+    optimization barrier. The fused line-search pass uses this:
+    outputs 0-1 are the tiny per-row loss deltas (dll, dysq) the
+    accept branch waits on, the rest are the N x N moments consumed
+    only by the NEXT iteration — the barrier stops XLA's all-reduce
+    combiner from folding the moment payload into the accept-critical
+    collective, so the accept path waits on ~2N floats while the
+    moment all-reduce remains free to overlap with later compute
+    (BASELINE north-star overlap clause; HLO evidence in
+    docs/DESIGN.md §4).
+    """
     from jax.sharding import PartitionSpec as P
 
     try:
@@ -160,6 +173,22 @@ def _shard_mapped(local_fn, sharding, x, *replicated):
 
     def wrapped(x_local, *reps):
         outs = local_fn(x_local, *reps)
+        if critical_first:
+            nc = int(critical_first)
+            head = tuple(lax.psum(o, axis) for o in outs[:nc])
+            # A real data dependency, not an optimization barrier (some
+            # backend pipelines strip opt-barriers before the
+            # all-reduce combiner runs): gate the moment psums on the
+            # accept payload having arrived. ``gate`` is exactly 0.0
+            # whenever the accept payload is finite (and a poisoned
+            # payload already poisons the accept test itself), so
+            # values are unchanged — but its dependence on ``head``
+            # would make merging the two collectives a cycle, which no
+            # combiner pass can form.
+            gate = jnp.where(
+                jnp.isfinite(head[0].ravel()[0]), 0.0, jnp.nan
+            ).astype(outs[nc].dtype)
+            return head + tuple(lax.psum(o + gate, axis) for o in outs[nc:])
         return tuple(lax.psum(o, axis) for o in outs)
 
     n_rep = len(replicated)
@@ -269,7 +298,8 @@ def data_fused_step(m_new, m_old, x, opts: CoreOptions, need_h: bool, need_ysq: 
 
         if opts.data_sharding is not None:
             dll, dysq, g, pm, h, ysq = _shard_mapped(
-                local, opts.data_sharding, x, m_new, m_old
+                local, opts.data_sharding, x, m_new, m_old,
+                critical_first=2,
             )
         else:
             dll, dysq, g, pm, h, ysq = local(x, m_new, m_old)
@@ -808,6 +838,15 @@ def _precision_stages(opts: CoreOptions):
         # The XLA path always runs HIGHEST; staging would only add
         # boundary re-measures.
         return [("f32", None)]
+    # Extended mode note: the bf16 tier's moment noise (~1e-4) is the
+    # same scale as the sub/super sign margins k_i on mixed-kurtosis
+    # data, so early bf16 iterations CAN run with noise-flipped signs.
+    # Measured (BASELINE config-3 mixture, 64x500k): the flips
+    # self-correct at the bf16x3/f32 tiers — the fit lands on the f64
+    # reference's fixed point to Amari ~6e-12, spending a few extra
+    # cheap iterations (32 vs 19). The basin is decided late, at
+    # accurate tiers, so the cheap tier stays in the schedule
+    # (docs/DESIGN.md §7).
     return [("bf16", 3e-4), ("bf16x3", 4e-7), ("f32", None)]
 
 

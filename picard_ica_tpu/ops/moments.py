@@ -27,7 +27,10 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 class RawMoments(NamedTuple):
@@ -49,12 +52,12 @@ def compute_raw_moments_xla(y, density, need_h: bool, need_ysq_mean: bool) -> Ra
     inv_t = jnp.asarray(1.0 / t, dtype)
 
     psi, psi_d = density.score_and_der(y)
-    g_raw = (psi @ y.T) * inv_t
+    g_raw = jnp.dot(psi, y.T, precision=_HI) * inv_t
     pm_raw = jnp.mean(psi_d, axis=1)
 
     if need_h:
         ysq = y * y
-        h_raw = (psi_d @ ysq.T) * inv_t
+        h_raw = jnp.dot(psi_d, ysq.T, precision=_HI) * inv_t
     else:
         h_raw = jnp.zeros((n, n), dtype)
 

@@ -10,6 +10,26 @@ if X = U S V^T then C = U S^2 U^T, so the whitening matrix
 the top-k eigenpairs of C. The deterministic sign convention
 (largest-|entry| of each row of K made positive, whitening.rs:92-107)
 is reproduced exactly so results are comparable across implementations.
+
+Accuracy design. The eigenVECTORS of the covariance are amplified by
+1/eigengap: with many similar-variance components the relative gaps
+sit at ~1e-3, so a naive f32 covariance (accumulation error
+~sqrt(T)*eps ~ 2e-5 at T=500k) rotates K by percent-level amounts —
+measurably different whitened data than an f64 pipeline, which (in
+extended mode, whose sign dynamics are chaotic) can land the optimizer
+in a different stationary point. Two mitigations:
+
+* the f32 device path accumulates the covariance (and the mean) in
+  T-chunks whose partials are folded with a pairwise tree — error
+  ~eps*(bt/sqrt(T) + log2(n_chunks)), ~50x better than a single f32
+  accumulation at T=500k, at the cost of nothing (same single pass
+  over X);
+* ``preprocess_f64`` runs the whole center+whiten in NumPy f64 on the
+  host — the reference-parity path the facade selects automatically
+  for f64 NumPy inputs of moderate size (the one-time O(N^2 T) host
+  pass buys an input to the f32 core that matches the f64 pipeline's
+  to cast precision, which provably keeps the extended-mode trajectory
+  in the reference's basin; see docs/DESIGN.md §7).
 """
 
 from __future__ import annotations
@@ -25,6 +45,8 @@ from ..errors import InvalidDimensionsError, SingularMatrixError
 # Reject singular values below this (whitening.rs:77).
 _MIN_SINGULAR_VALUE = 1e-10
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 class WhiteningResult(NamedTuple):
     """Whitened data + whitening matrix (whitening.rs:10-15)."""
@@ -33,9 +55,43 @@ class WhiteningResult(NamedTuple):
     whitening_matrix: jnp.ndarray  # (n_components, n_features)
 
 
+def _fold_pairwise(partials):
+    """Tree-fold (n_chunks, ...) partials: O(log n) rounding growth."""
+    while partials.shape[0] > 1:
+        half = partials.shape[0] // 2
+        folded = partials[:half] + partials[half : 2 * half]
+        if partials.shape[0] % 2:
+            folded = folded.at[0].add(partials[-1])
+        partials = folded
+    return partials[0]
+
+
+def _chunk_len(t: int) -> int:
+    """T-chunk for the accurate f32 reductions: small chunks bound the
+    in-chunk f32 accumulation error (~eps * bt / sqrt(T) relative) while
+    the pairwise fold keeps the cross-chunk error at ~eps * log2(n)."""
+    if t <= 2048:
+        return t
+    return max(512, min(8192, t // 512))
+
+
 def center(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Subtract the per-row (per-feature) mean (whitening.rs:24-35)."""
-    mean = jnp.mean(x, axis=1)
+    """Subtract the per-row (per-feature) mean (whitening.rs:24-35).
+
+    f32 inputs use chunked sums + a pairwise fold (error ~eps*log(T/bt)
+    instead of ~eps*sqrt(T) — the mean feeds the covariance, whose
+    eigenvectors amplify input noise by 1/eigengap).
+    """
+    x = jnp.asarray(x)
+    n, t = x.shape
+    if x.dtype == jnp.float64 or t <= 2048:
+        mean = jnp.mean(x, axis=1)
+        return x - mean[:, None], mean
+    bt = _chunk_len(t)
+    pad = (-t) % bt
+    xp = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
+    partial = jnp.sum(xp.reshape(n, -1, bt), axis=2)  # (n, n_chunks)
+    mean = _fold_pairwise(partial.T) / t
     return x - mean[:, None], mean
 
 
@@ -52,14 +108,15 @@ _RELATIVE_EIG_FLOOR = 1e-14
 def whitening_matrix_from_covariance(cov, n_samples: int, n_components: int):
     """Build K from the N x N covariance ``X X^T`` (unnormalized).
 
-    Returns ``(k_matrix, min_singular_value)`` with ``min_singular_value``
-    forced to 0.0 when the covariance is numerically rank-deficient.
+    Returns ``(k_matrix, min_singular_value)`` — NumPy f64; the caller
+    casts. ``min_singular_value`` is forced to 0.0 (and ``k_matrix`` to
+    ``None``) when the covariance is numerically rank-deficient — the
+    rank test runs BEFORE K is formed so no 1/tiny overflow occurs.
     Eager (host-side): the covariance is a tiny replicated N x N
     matrix, and decomposing it in NumPy f64 keeps the whitening basis
     and the rank test at full precision even when the device computes
     in f32 (TPU). The singularity *raise* is the caller's job.
     """
-    dtype = cov.dtype
     cov64 = np.asarray(cov, np.float64)
     eigenvalues, eigenvectors = np.linalg.eigh(cov64)
     # eigh returns ascending order; the SVD convention is descending.
@@ -69,19 +126,45 @@ def whitening_matrix_from_covariance(cov, n_samples: int, n_components: int):
     # Singular values of X are sqrt of eigenvalues of X X^T.
     s = np.sqrt(np.maximum(top_eigs, 0.0))
     min_sv = float(s[-1]) if s.size else 0.0
-    if eigenvalues[-1] > 0 and top_eigs[-1] < eigenvalues[-1] * _RELATIVE_EIG_FLOOR:
+    if eigenvalues.size and eigenvalues[-1] > 0 and (
+        top_eigs[-1] < eigenvalues[-1] * _RELATIVE_EIG_FLOOR
+    ):
         min_sv = 0.0
+    if min_sv < _MIN_SINGULAR_VALUE:
+        return None, min_sv
 
     scale = np.sqrt(np.float64(n_samples))
-    safe_s = np.maximum(s, np.finfo(np.float64).tiny)
-    k = (u / safe_s[None, :]).T * scale  # (k, n_features)
+    k = (u / s[None, :]).T * scale  # (k, n_features)
 
     # Deterministic sign: flip rows whose largest-|entry| is negative
     # (whitening.rs:92-107, "MATLAB convention").
     max_idx = np.argmax(np.abs(k), axis=1)
     row_sign = np.sign(np.take_along_axis(k, max_idx[:, None], axis=1))
     row_sign = np.where(row_sign == 0, 1.0, row_sign)
-    return jnp.asarray(k * row_sign, dtype), min_sv
+    return k * row_sign, min_sv
+
+
+def _covariance(x) -> jnp.ndarray:
+    """``X X^T`` (unnormalized) with chunked f32 accumulation.
+
+    A single f32 MXU dot accumulates over all T with ~sqrt(T)*eps
+    relative error; chunking the T axis and tree-folding the (tiny)
+    N x N chunk partials keeps the error at ~eps*log2(n_chunks).
+    Sharded-friendly: the chunked einsum is still one local pass over
+    X (+ psum under SPMD). f64 inputs take the plain dot.
+    """
+    n, t = x.shape
+    if x.dtype == jnp.float64 or t <= 2048:
+        return jnp.dot(x, x.T, precision=_HI)
+    bt = _chunk_len(t)
+    pad = (-t) % bt
+    xp = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
+    xc = xp.reshape(n, -1, bt)
+    partials = jnp.einsum(
+        "ict,jct->cij", xc, xc, precision=_HI,
+        preferred_element_type=x.dtype,
+    )
+    return _fold_pairwise(partials)
 
 
 def whiten(x, n_components: int) -> WhiteningResult:
@@ -96,14 +179,55 @@ def whiten(x, n_components: int) -> WhiteningResult:
             f"n_components ({n_components}) cannot exceed n_features ({n_features})"
         )
 
-    # Sharded-friendly: one N x T @ T x N contraction (psum under SPMD),
-    # then a replicated N x N eigh.
-    cov = jnp.dot(x, x.T, precision=jax.lax.Precision.HIGHEST)
+    cov = _covariance(x)
     k, min_sv = whitening_matrix_from_covariance(cov, n_samples, n_components)
-    if min_sv < _MIN_SINGULAR_VALUE:
+    if k is None or min_sv < _MIN_SINGULAR_VALUE:
         raise SingularMatrixError()
+    k = jnp.asarray(k, x.dtype)
 
     return WhiteningResult(
-        data=jnp.dot(k, x, precision=jax.lax.Precision.HIGHEST),
+        data=jnp.dot(k, x, precision=_HI),
         whitening_matrix=k,
     )
+
+
+# Above this many elements the one-time host f64 pass (O(N^2 T) BLAS +
+# O(N T) projection) stops being negligible next to the device fit;
+# the facade's "auto" mode then stays on the device path.
+_HOST_F64_MAX_ELEMENTS = 200_000_000
+
+
+def preprocess_f64(
+    x64: np.ndarray,
+    n_components: int,
+    centering: bool,
+    whiten_flag: bool,
+) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[np.ndarray]]:
+    """Host NumPy f64 centering + PCA whitening (reference parity).
+
+    Returns ``(preprocessed_data_f64, mean_or_None, K_or_None)``.
+    Semantics identical to :func:`center` + :func:`whiten` (including
+    the sign convention and the rank test), evaluated entirely in f64:
+    the whitening basis then matches an all-f64 pipeline's (e.g. the
+    native oracle's, whitening.rs semantics) to ~1e-13 instead of the
+    device path's ~1e-4-1e-2 — which keeps chaotic extended-mode
+    trajectories in the same basin as the f64 reference
+    (docs/DESIGN.md §7). Raises on singular data like :func:`whiten`.
+    """
+    x64 = np.ascontiguousarray(x64, np.float64)
+    mean = None
+    if centering:
+        mean = x64.mean(axis=1)
+        x64 = x64 - mean[:, None]
+    if not whiten_flag:
+        return x64, mean, None
+    n_features, n_samples = x64.shape
+    if n_components > n_features:
+        raise InvalidDimensionsError(
+            f"n_components ({n_components}) cannot exceed n_features ({n_features})"
+        )
+    cov = x64 @ x64.T
+    k, min_sv = whitening_matrix_from_covariance(cov, n_samples, n_components)
+    if k is None or min_sv < _MIN_SINGULAR_VALUE:
+        raise SingularMatrixError()
+    return k @ x64, mean, k

@@ -43,11 +43,11 @@ def compute_raw_moments_psum(y, density: Density, mesh, need_h: bool, need_ysq: 
 
     def local_kernel(y_local):
         psi, psi_d = density.score_and_der(y_local)
-        g_part = psi @ y_local.T
+        g_part = jnp.dot(psi, y_local.T, precision=jax.lax.Precision.HIGHEST)
         pm_part = jnp.sum(psi_d, axis=1)
         if need_h:
             ysq = y_local * y_local
-            h_part = psi_d @ ysq.T
+            h_part = jnp.dot(psi_d, ysq.T, precision=jax.lax.Precision.HIGHEST)
         else:
             h_part = jnp.zeros((n, n), dtype)
         if need_ysq:

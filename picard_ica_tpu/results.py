@@ -9,6 +9,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from .ops.linalg import mixing_pinv
@@ -33,9 +34,15 @@ class PicardResult:
     signs: Optional[jnp.ndarray]
 
     def full_unmixing(self) -> jnp.ndarray:
-        """``W @ K`` when whitened, else ``W`` (result.rs:39-44)."""
+        """``W @ K`` when whitened, else ``W`` (result.rs:39-44).
+
+        HIGHEST precision: the default TPU matmul (bf16) would add
+        ~1e-3 relative noise to the composed unmixing — larger than
+        the solver's own error by orders of magnitude.
+        """
         if self.whitening is not None:
-            return self.unmixing @ self.whitening
+            return jnp.dot(self.unmixing, self.whitening,
+                           precision=jax.lax.Precision.HIGHEST)
         return self.unmixing
 
     def mixing(self) -> jnp.ndarray:

@@ -31,7 +31,7 @@ from .models.fastica import ica_par_jit
 from .models.jade import jade_jit
 from .ops.densities import Tanh
 from .ops.linalg import _SYM_DECORR_MIN_EIG, sym_decorrelation_with_mineig
-from .ops.whitening import center, whiten
+from .ops.whitening import _HOST_F64_MAX_ELEMENTS, center, preprocess_f64, whiten
 from .results import PicardResult
 
 try:  # jax >= 0.4 namespace
@@ -71,7 +71,33 @@ class Picard:
         config.validate()
 
         dtype = _resolve_dtype(x, config)
-        x = jnp.asarray(x, dtype)
+
+        # Host-f64 preprocessing (see config.whiten_precision): when the
+        # caller hands us an f64 host array and the core will run in
+        # f32, the one-time center+whiten pass runs in NumPy f64 so the
+        # whitening basis matches an all-f64 pipeline's (the eigengap
+        # amplification makes a device-f32 covariance rotate K by
+        # orders of magnitude more than the core's own f32 error —
+        # docs/DESIGN.md §7).
+        x_host = x if isinstance(x, np.ndarray) else None
+        host_f64 = config.whiten_precision == "f64"
+        if config.whiten_precision == "auto":
+            host_f64 = (
+                x_host is not None
+                and x_host.dtype == np.float64
+                and dtype == jnp.dtype(jnp.float32)
+                and x_host.size <= _HOST_F64_MAX_ELEMENTS
+                and (config.centering or config.whiten)
+            )
+        if host_f64 and x_host is None:
+            raise InvalidDimensionsError(
+                "whiten_precision='f64' requires a host (NumPy) input array"
+            )
+
+        if not host_f64:
+            x = jnp.asarray(x, dtype)
+        else:
+            x = x_host
         if x.ndim != 2:
             raise InvalidDimensionsError("Input must be a 2-D (n_features, n_samples) matrix")
         n, p = x.shape
@@ -87,7 +113,8 @@ class Picard:
                     f"({n_devices}) to shard the samples axis; trim to "
                     f"{p - p % n_devices} or pad the data"
                 )
-            x = jax.device_put(x, sharding)
+            if not host_f64:
+                x = jax.device_put(x, sharding)
 
         # RNG (solver.rs:57-60). jax PRNG replaces StdRng; random_state
         # gives reproducibility within this implementation.
@@ -109,22 +136,34 @@ class Picard:
                 RuntimeWarning,
             )
 
-        # Center (solver.rs:77-82).
-        if config.centering:
-            x1, x_mean = center(x)
+        if host_f64:
+            # Reference-parity path: center+whiten in NumPy f64 on the
+            # host, then place the (k, T) result on device in f32.
+            x1_64, mean_64, k_64 = preprocess_f64(
+                x, n_components, config.centering, config.whiten
+            )
+            x1 = jnp.asarray(x1_64.astype(np.float32))
+            if sharding is not None:
+                x1 = jax.device_put(x1, sharding)
+            x_mean = None if mean_64 is None else jnp.asarray(mean_64, dtype)
+            k_matrix = None if k_64 is None else jnp.asarray(k_64, dtype)
         else:
-            x1, x_mean = x, None
+            # Center (solver.rs:77-82).
+            if config.centering:
+                x1, x_mean = center(x)
+            else:
+                x1, x_mean = x, None
 
-        # Whiten (solver.rs:85-93).
-        if config.whiten:
-            whitening_result = whiten(x1, n_components)
-            x1 = whitening_result.data
-            k_matrix = whitening_result.whitening_matrix
-        else:
-            k_matrix = None
+            # Whiten (solver.rs:85-93).
+            if config.whiten:
+                whitening_result = whiten(x1, n_components)
+                x1 = whitening_result.data
+                k_matrix = whitening_result.whitening_matrix
+            else:
+                k_matrix = None
 
-        if sharding is not None:
-            x1 = jax.lax.with_sharding_constraint(x1, sharding)
+            if sharding is not None:
+                x1 = jax.lax.with_sharding_constraint(x1, sharding)
 
         actual_components = x1.shape[0]
 
@@ -238,4 +277,5 @@ class Picard:
         x = jnp.asarray(x, result.unmixing.dtype)
         if result.mean is not None:
             x = x - result.mean[:, None]
-        return result.full_unmixing() @ x
+        return jnp.dot(result.full_unmixing(), x,
+                       precision=jax.lax.Precision.HIGHEST)

@@ -182,3 +182,53 @@ def test_transform_on_sharded_data(eight_device_mesh):
     np.testing.assert_allclose(
         np.asarray(y_shard), np.asarray(y_plain), rtol=1e-10, atol=1e-10
     )
+
+
+def test_accept_psum_separate_from_moments(eight_device_mesh):
+    """The fused line-search pass's accept-critical psums (dll, dysq)
+    must not share an all-reduce with the N x N moment psums — the
+    optimization barrier in core._shard_mapped orders the moment
+    reductions after the accept payload so no combiner pass can merge
+    them (BASELINE north-star overlap clause; docs/DESIGN.md §4)."""
+    import re
+
+    from picard_ica_tpu.models.core import data_fused_step
+    from picard_ica_tpu.parallel import data_sharding as _ds
+
+    n, t = 8, 4096
+    sharding = _ds(eight_device_mesh)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((n, t)), jnp.float32)
+    x = jax.device_put(x, sharding)
+    m_new = jnp.eye(n, dtype=jnp.float32) * 1.01
+    m_old = jnp.eye(n, dtype=jnp.float32)
+
+    opts = CoreOptions(
+        density=Tanh(), ortho=True, extended=True, has_cov=True, m=7,
+        ls_tries=10, use_pallas=True, data_sharding=sharding,
+        kernel_precision="f32",
+    )
+    fn = jax.jit(
+        lambda mn, mo, x_: data_fused_step(mn, mo, x_, opts, False, False)
+    )
+    hlo = fn.lower(m_new, m_old, x).compile().as_text()
+
+    # Every actual all-reduce OP (not get-tuple-element consumers),
+    # with its result-shape prefix.
+    ars = re.findall(
+        r"= ((?:\([^)]*\)|f32\[[^=\n]*?)) all-reduce\(", hlo
+    )
+    assert ars, "expected at least one all-reduce in the sharded pass"
+    small = f"f32[{n}]"          # dll/dysq row vectors
+    big = f"f32[{n},{n}]"        # moment matrices (g, h; pm/ysq are [n])
+    shape_lists = [re.findall(r"f32\[[\d,]*\]", s) for s in ars]
+    # The accept payload (dll, dysq) must ride its own collective:
+    # exactly two [n] tensors, no [n, n] moment matrix.
+    assert any(
+        len(sl) == 2 and all(s == small for s in sl) for sl in shape_lists
+    ), f"no dedicated (dll, dysq) all-reduce found: {shape_lists}"
+    # ... and no collective carries all six outputs (a full merge would
+    # make the accept branch wait on the moment payload).
+    assert all(len(sl) <= 4 for sl in shape_lists), (
+        f"accept-path psum merged with the moment psums: {shape_lists}"
+    )

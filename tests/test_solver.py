@@ -236,3 +236,47 @@ def test_n_components_exceeding_n_clamps():
     _, _, x = generate_test_data(4, 3000, seed=1)
     result = Picard.fit(x, PicardConfig(n_components=99, random_state=0, max_iter=50))
     assert result.unmixing.shape == (4, 4)
+
+
+def test_host_f64_preprocessing_path():
+    """f64 NumPy input + f32 core -> host-f64 whitening basis (the
+    reference-parity pipeline; config.whiten_precision docs)."""
+    s, a, x = generate_test_data(5, 4000, seed=3)
+    import jax.numpy as jnp
+
+    x = np.asarray(x, np.float64)
+    res = Picard.fit(x, PicardConfig(random_state=0, dtype="float32"))
+    assert res.unmixing.dtype == jnp.float32
+
+    # The whitening matrix must match the NumPy f64 construction to
+    # cast precision (the device-f32 covariance path would differ by
+    # far more through the eigengap amplification).
+    xc = x - x.mean(axis=1, keepdims=True)
+    u, sv, _ = np.linalg.svd(xc, full_matrices=False)
+    k_ref = (u / sv).T * np.sqrt(x.shape[1])
+    for i in range(k_ref.shape[0]):
+        j = np.argmax(np.abs(k_ref[i]))
+        if k_ref[i, j] < 0:
+            k_ref[i] = -k_ref[i]
+    np.testing.assert_allclose(
+        np.asarray(res.whitening, np.float64), k_ref, atol=1e-5
+    )
+
+
+def test_whiten_precision_f64_requires_host_array():
+    import jax.numpy as jnp
+
+    _, _, x = generate_test_data(4, 1000, seed=4)
+    with pytest.raises(InvalidDimensionsError):
+        Picard.fit(jnp.asarray(x), PicardConfig(whiten_precision="f64"))
+
+
+def test_whiten_precision_device_forces_device_path():
+    _, a, x = generate_test_data(4, 4000, seed=5)
+    res = Picard.fit(
+        np.asarray(x, np.float64),
+        PicardConfig(random_state=0, whiten_precision="device", tol=1e-5),
+    )
+    from picard_ica_tpu.utils import amari_distance
+
+    assert amari_distance(np.asarray(res.full_unmixing()), a) < 5e-2

@@ -77,3 +77,67 @@ def test_whiten_rejects_rank_deficient():
     x -= x.mean(axis=1, keepdims=True)
     with pytest.raises(SingularMatrixError):
         whiten(jnp.asarray(x), 3)
+
+
+def test_whiten_rank_deficient_emits_no_warnings():
+    """The rank test runs BEFORE K is formed: no overflow in 1/s."""
+    import warnings
+
+    base = np.random.default_rng(6).standard_normal((1, 100))
+    x = np.vstack([base, 2 * base, 3 * base])
+    x -= x.mean(axis=1, keepdims=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        with pytest.raises(SingularMatrixError):
+            whiten(jnp.asarray(x), 3)
+
+
+def test_chunked_f32_covariance_accuracy():
+    """The chunked f32 device path tracks the f64 covariance to
+    ~1e-6 relative (a single f32 accumulation drifts ~sqrt(T)*eps)."""
+    from picard_ica_tpu.ops.whitening import _covariance
+
+    rng = np.random.default_rng(7)
+    x64 = rng.laplace(size=(8, 300_000))
+    x32 = jnp.asarray(x64.astype(np.float32))
+    cov32 = np.asarray(_covariance(x32), np.float64)
+    cov64 = x64 @ x64.T
+    rel = np.abs(cov32 - cov64).max() / np.abs(cov64).max()
+    assert rel < 2e-6, rel
+
+
+def test_chunked_f32_center_accuracy():
+    rng = np.random.default_rng(8)
+    x64 = rng.laplace(size=(4, 300_000)) + 3.0
+    _, mean = center(jnp.asarray(x64.astype(np.float32)))
+    rel = np.abs(np.asarray(mean, np.float64) - x64.mean(axis=1)).max()
+    assert rel < 1e-6, rel
+
+
+def test_preprocess_f64_matches_reference_pipeline():
+    """Host-f64 preprocessing == f64 center+whiten to ~1e-12."""
+    from picard_ica_tpu.ops.whitening import preprocess_f64
+
+    rng = np.random.default_rng(9)
+    x = rng.laplace(size=(6, 5000))
+    data, mean, k = preprocess_f64(x, 6, True, True)
+
+    xc = x - x.mean(axis=1, keepdims=True)
+    u, s, _ = np.linalg.svd(xc, full_matrices=False)
+    k_ref = (u / s).T * np.sqrt(5000)
+    for i in range(6):
+        j = np.argmax(np.abs(k_ref[i]))
+        if k_ref[i, j] < 0:
+            k_ref[i] = -k_ref[i]
+    np.testing.assert_allclose(mean, x.mean(axis=1), atol=1e-12)
+    np.testing.assert_allclose(k, k_ref, atol=1e-9)
+    np.testing.assert_allclose(data, k_ref @ xc, atol=1e-8)
+
+
+def test_preprocess_f64_rejects_rank_deficient():
+    from picard_ica_tpu.ops.whitening import preprocess_f64
+
+    base = np.random.default_rng(10).standard_normal((1, 100))
+    x = np.vstack([base, 2 * base])
+    with pytest.raises(SingularMatrixError):
+        preprocess_f64(x, 2, True, True)
