@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.densities import Density
-from ..ops.linalg import matrix_exp, skew_symmetric
+from ..ops.linalg import expm_pow2_chain, matrix_exp, skew_symmetric
 from ..ops.moments import RawMoments
 
 # Penalty loss for singular/failed evaluations (core.rs:90-96).
@@ -76,14 +76,34 @@ class CoreOptions:
     # 0 for the final stage, which keeps the reference's run-to-max_iter
     # semantics). A tier at its data-dependent noise floor is detected
     # by either signal:
-    #   * two CONSECUTIVE line-search failures (GD fallback) — at the
-    #     floor the measured gradient is noise and even -G fails; in
-    #     healthy phases consecutive fallbacks are rare (a fallback
-    #     clears the memory and the next GD-ish step accepts), or
+    #   * a line-search failure (GD fallback) — at the floor the
+    #     measured gradient is noise and even -G fails; in healthy
+    #     phases fallbacks are rare, or
     #   * no gradient-norm improvement for `stage_patience` iterations
-    #     (a long window: early trajectories are legitimately
-    #     non-monotone for several iterations).
+    #     while within 20x of the tier's handoff threshold (early
+    #     trajectories are legitimately non-monotone, so far-from-floor
+    #     plateaus don't exit until 3x the patience).
     stage_patience: int = 0
+    # Backtracking tries per line search (primary + GD fallback) for
+    # this stage. The final stage always runs the reference's
+    # (ls_tries, 10) semantics; NON-final cheap tiers cap both at 3 —
+    # at a tier's noise floor the direction is noise and every
+    # additional halved-alpha try is a wasted full pass over X
+    # (measured: uncapped, one noisy stage exit costs ~40 passes).
+    fallback_ls_tries: int = _FALLBACK_LS_TRIES
+    # PLAIN line-search accept (cheap tiers only): evaluate the
+    # candidate's absolute log-lik row sums in the fused pass (one
+    # rotation dot, ~half the VPU transcendentals) and accept on a
+    # direct f32 loss subtraction. Resolution ~1e-4 absolute — ample
+    # down to the bf16 tier's handoff; the accurate tiers keep the
+    # cancellation-free delta form (see ops/pallas_kernels.py).
+    plain_ls: bool = False
+    # Start the primary line search at min(1, 2 * last accepted alpha)
+    # instead of always 1 (cheap tiers only; the final stage keeps the
+    # reference's alpha=1 semantics). Mid-trajectory steps routinely
+    # need alpha ~ 1/8: restarting from 1 costs 3-4 rejected full
+    # passes over X per iteration.
+    adaptive_alpha: bool = False
 
 
 class LbfgsMemory(NamedTuple):
@@ -116,6 +136,13 @@ class CoreState(NamedTuple):
     best_gnorm: jnp.ndarray
     since_improve: jnp.ndarray  # i32
     consec_fallbacks: jnp.ndarray  # i32
+    # Cumulative fused line-search passes (accepted + rejected tries,
+    # incl. fallback) — each is one streaming read of X; the dominant
+    # cost driver and the key per-run efficiency diagnostic.
+    ls_calls: jnp.ndarray  # i32
+    # log2 exponent of the last accepted step size (adaptive-alpha
+    # warm start for the next primary line search in cheap tiers).
+    prev_alpha_exp: jnp.ndarray  # i32
 
 
 class CoreResult(NamedTuple):
@@ -128,6 +155,8 @@ class CoreResult(NamedTuple):
     # (n_stages,) iteration count at each precision-stage exit
     # (diagnostics; a single entry for pinned precisions).
     stage_exits: jnp.ndarray
+    # Total fused line-search passes over X (tries incl. fallbacks).
+    ls_calls: jnp.ndarray
 
 
 _HI = jax.lax.Precision.HIGHEST
@@ -294,6 +323,7 @@ def data_fused_step(m_new, m_old, x, opts: CoreOptions, need_h: bool, need_ysq: 
             return rotated_fused_sums(
                 mn, mo, x_local, opts.density, need_h, need_ysq,
                 interpret=interp, precision=opts.kernel_precision,
+                absolute_ll=opts.plain_ls,
             )
 
         if opts.data_sharding is not None:
@@ -309,14 +339,28 @@ def data_fused_step(m_new, m_old, x, opts: CoreOptions, need_h: bool, need_ysq: 
             RawMoments(g * inv_t, pm * inv_t, h * inv_t, ysq * inv_t),
         )
 
-    # Same cancellation-free formulation as the Pallas kernel: rotate
-    # the delta matrix and evaluate the loss change analytically from
-    # (y_old, dy), so the error is relative to |dy| instead of |ll|.
-    y_old = _dot(m_old, x)
-    dy = _dot(m_new - m_old, x)
-    y_new = y_old + dy
-    psi, psi_d, dll_el = opts.density.score_der_loglik_delta(y_old, dy)
-    dll = jnp.mean(dll_el, axis=1)
+    # Same formulations as the Pallas kernel. Delta mode rotates the
+    # delta matrix and evaluates the loss change analytically from
+    # (y_old, dy), so the error is relative to |dy| instead of |ll|;
+    # plain mode (cheap tiers) evaluates absolute row means.
+    if opts.plain_ls:
+        y_new = _dot(m_new, x)
+        psi, psi_d, ll_el = opts.density.score_der_loglik(y_new)
+        dll = jnp.mean(ll_el, axis=1)
+        dysq = (
+            jnp.mean(y_new * y_new, axis=1) if need_ysq
+            else jnp.zeros((n,), dtype)
+        )
+    else:
+        y_old = _dot(m_old, x)
+        dy = _dot(m_new - m_old, x)
+        y_new = y_old + dy
+        psi, psi_d, dll_el = opts.density.score_der_loglik_delta(y_old, dy)
+        dll = jnp.mean(dll_el, axis=1)
+        dysq = (
+            jnp.mean((2.0 * y_old + dy) * dy, axis=1) if need_ysq
+            else jnp.zeros((n,), dtype)
+        )
     g = _dot(psi, y_new.T) * inv_t
     pm = jnp.mean(psi_d, axis=1)
     if need_h:
@@ -324,12 +368,10 @@ def data_fused_step(m_new, m_old, x, opts: CoreOptions, need_h: bool, need_ysq: 
         h = _dot(psi_d, ysq_new.T) * inv_t
     else:
         h = jnp.zeros((n, n), dtype)
-    if need_ysq:
-        ysq_new_mean = jnp.mean(y_new * y_new, axis=1)
-        dysq = jnp.mean((2.0 * y_old + dy) * dy, axis=1)
-    else:
-        ysq_new_mean = jnp.zeros((n,), dtype)
-        dysq = jnp.zeros((n,), dtype)
+    ysq_new_mean = (
+        jnp.mean(y_new * y_new, axis=1) if need_ysq
+        else jnp.zeros((n,), dtype)
+    )
     return dll, dysq, RawMoments(g, pm, h, ysq_new_mean)
 
 
@@ -463,8 +505,11 @@ def compute_direction(g, h, h_off, mem: LbfgsMemory, opts: CoreOptions):
     return -z
 
 
+_ALPHA_EXP_CAP = 6  # adaptive initial alpha never starts below 2^-6
+
+
 def line_search(x, w, direction, signs, current_loss, ls_tries, opts: CoreOptions,
-                accept_slack=None):
+                accept_slack=None, max_tries=None, init_alpha_exp=None):
     """Backtracking line search (core.rs:99-150), Y kept implicit.
 
     Tries alpha = 1, 1/2, 1/4, ... accepting the first loss decrease.
@@ -496,26 +541,60 @@ def line_search(x, w, direction, signs, current_loss, ls_tries, opts: CoreOption
     if accept_slack is None:
         accept_slack = jnp.asarray(0.0, dtype)
 
-    def try_alpha(alpha):
+    # f32 ortho: ALL candidate rotations expm(2^-k D) come from one
+    # shared scaling-squaring chain computed up front (ops/linalg.py::
+    # expm_pow2_chain) — per-try expm was the dominant N x N dispatch
+    # cost (~2 ms/try at N=64). f64 keeps the per-try reference-exact
+    # matrix_exp for oracle lockstep.
+    if init_alpha_exp is None:
+        init_alpha_exp = jnp.asarray(0, jnp.int32)
+    use_chain = (
+        opts.ortho and dtype != jnp.float64 and max_tries is not None
+    )
+    if use_chain:
+        chain, chain_top = expm_pow2_chain(
+            direction, int(max_tries) + _ALPHA_EXP_CAP
+        )
+
+    def try_alpha(alpha, k):
         if opts.ortho:
-            tm = matrix_exp(direction * alpha)
+            if use_chain:
+                tm = chain[chain_top - init_alpha_exp - k]
+            else:
+                tm = matrix_exp(direction * alpha)
         else:
             tm = eye + alpha * direction
         w_new = _dot(tm, w)
 
         dll, dysq, moments = data_fused_step(w_new, w, x, opts, need_h, need_ysq)
-        delta = jnp.sum(signs * dll)
-        if need_ysq:
-            delta = delta + 0.5 * jnp.sum(dysq)
-        if not opts.ortho:
-            # -log|det W_new| + log|det W| == -log|det Tm|; a singular
-            # candidate gets the 1e15 penalty (core.rs:90-96).
-            sign_tm, log_abs_tm = jnp.linalg.slogdet(tm)
-            delta = delta + jnp.where(
-                sign_tm == 0,
-                jnp.asarray(_SINGULAR_LOSS, dtype),
-                -log_abs_tm.astype(dtype),
-            )
+        if opts.plain_ls:
+            # dll/dysq hold the candidate's ABSOLUTE row means; accept
+            # on a direct subtraction against the carried loss.
+            loss_new = jnp.sum(signs * dll)
+            if need_ysq:
+                loss_new = loss_new + 0.5 * jnp.sum(dysq)
+            if not opts.ortho:
+                sign_w, log_abs_w = jnp.linalg.slogdet(w_new)
+                loss_new = loss_new + jnp.where(
+                    sign_w == 0,
+                    jnp.asarray(_SINGULAR_LOSS, dtype),
+                    -log_abs_w.astype(dtype),
+                )
+            delta = loss_new - current_loss
+        else:
+            delta = jnp.sum(signs * dll)
+            if need_ysq:
+                delta = delta + 0.5 * jnp.sum(dysq)
+            if not opts.ortho:
+                # -log|det W_new| + log|det W| == -log|det Tm|; a
+                # singular candidate gets the 1e15 penalty
+                # (core.rs:90-96).
+                sign_tm, log_abs_tm = jnp.linalg.slogdet(tm)
+                delta = delta + jnp.where(
+                    sign_tm == 0,
+                    jnp.asarray(_SINGULAR_LOSS, dtype),
+                    -log_abs_tm.astype(dtype),
+                )
         return w_new, delta, moments
 
     def cond(carry):
@@ -524,7 +603,7 @@ def line_search(x, w, direction, signs, current_loss, ls_tries, opts: CoreOption
 
     def body(carry):
         alpha, tries, _, _, _, _ = carry
-        w_new, delta, moments = try_alpha(alpha)
+        w_new, delta, moments = try_alpha(alpha, tries)
         success = delta < accept_slack
         next_alpha = jnp.where(success, alpha, alpha / 2.0)
         return (next_alpha, tries + 1, success, w_new, delta, moments)
@@ -534,16 +613,17 @@ def line_search(x, w, direction, signs, current_loss, ls_tries, opts: CoreOption
         jnp.zeros((n, n), dtype), jnp.zeros((n,), dtype),
     )
     init = (
-        jnp.asarray(1.0, dtype),
+        jnp.exp2(-init_alpha_exp).astype(dtype),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
         w,
         jnp.asarray(0.0, dtype),
         zero_moments,
     )
-    alpha, _, success, w_new, delta, moments = lax.while_loop(cond, body, init)
+    alpha, tries, success, w_new, delta, moments = lax.while_loop(cond, body, init)
     step = direction * alpha
-    return success, w_new, current_loss + delta, step, moments
+    last_exp = init_alpha_exp + tries - 1
+    return success, w_new, current_loss + delta, step, moments, tries, last_exp
 
 
 # ---------------------------------------------------------------------------
@@ -608,27 +688,38 @@ def _iteration_update(st: CoreState, x, g, h, h_off, signs, old_signs, sign_chan
 
     direction = compute_direction(g, h, h_off, memory, opts)
 
-    success, ls_w, ls_loss, ls_step, ls_moments = line_search(
+    if opts.adaptive_alpha:
+        init_exp = jnp.clip(st.prev_alpha_exp - 1, 0, _ALPHA_EXP_CAP)
+    else:
+        init_exp = jnp.asarray(0, jnp.int32)
+
+    (success, ls_w, ls_loss, ls_step, ls_moments, ls_tries_used,
+     ls_last_exp) = line_search(
         x, st.w, direction, signs, current_loss,
         jnp.asarray(opts.ls_tries, jnp.int32), opts,
-        accept_slack=accept_slack,
+        accept_slack=accept_slack, max_tries=opts.ls_tries,
+        init_alpha_exp=init_exp,
     )
 
     # Gradient-descent fallback on line-search failure (core.rs:349-364):
     # clear memory and retry with -G for 10 tries; take its result even
     # if it also fails.
     def with_fallback(_):
-        _, fb_w, fb_loss, fb_step, fb_moments = line_search(
+        _, fb_w, fb_loss, fb_step, fb_moments, fb_tries, _fb_exp = line_search(
             x, st.w, -g, signs, current_loss,
-            jnp.asarray(_FALLBACK_LS_TRIES, jnp.int32), opts,
-            accept_slack=accept_slack,
+            jnp.asarray(opts.fallback_ls_tries, jnp.int32), opts,
+            accept_slack=accept_slack, max_tries=opts.fallback_ls_tries,
         )
-        return fb_w, fb_loss, fb_step, jnp.zeros_like(memory.count), fb_moments
+        return (fb_w, fb_loss, fb_step, jnp.zeros_like(memory.count),
+                fb_moments, ls_tries_used + fb_tries,
+                jnp.asarray(0, jnp.int32))
 
     def without_fallback(_):
-        return ls_w, ls_loss, ls_step, memory.count, ls_moments
+        return (ls_w, ls_loss, ls_step, memory.count, ls_moments,
+                ls_tries_used, ls_last_exp)
 
-    new_w, new_loss, step, mem_count, new_moments = lax.cond(
+    (new_w, new_loss, step, mem_count, new_moments, tries_total,
+     new_alpha_exp) = lax.cond(
         ~success, with_fallback, without_fallback, operand=None
     )
     memory = LbfgsMemory(memory.s_mem, memory.y_mem, memory.r_mem, mem_count)
@@ -666,6 +757,8 @@ def _iteration_update(st: CoreState, x, g, h, h_off, signs, old_signs, sign_chan
             success, jnp.zeros_like(st.consec_fallbacks),
             st.consec_fallbacks + 1,
         ),
+        ls_calls=st.ls_calls + tries_total,
+        prev_alpha_exp=new_alpha_exp,
     )
 
 
@@ -727,15 +820,32 @@ def _iteration_body(st: CoreState, x, covariance, tol, lambda_min, opts: CoreOpt
 
     # Non-final precision stages also exit when the tier stalls at its
     # (data-dependent) noise floor: two consecutive line-search
-    # fallbacks, or a long gradient-norm plateau. Disabled (patience 0)
-    # for the final stage — the reference runs to max_iter.
+    # fallbacks, or a gradient-norm plateau NEAR THE FLOOR. The
+    # near-floor gate (gnorm < 20x the tier's handoff threshold)
+    # matters: early trajectories are legitimately non-monotone for
+    # ~10 iterations, and an ungated plateau detector exits the cheap
+    # tiers during that warmup — shunting the whole descent to the
+    # expensive f32 tier (measured: 16 f32 iterations instead of 2 at
+    # N=64/T=4M, a 1.5x headline regression). A long-stall escape
+    # hatch (3x patience, any gnorm) still bounds a tier that truly
+    # wedges above its floor. Disabled (patience 0) for the final
+    # stage — the reference runs to max_iter.
     if opts.stage_patience > 0:
         improved = gradient_norm < st.best_gnorm * 0.99
         best_gnorm = jnp.minimum(st.best_gnorm, gradient_norm)
         since_improve = jnp.where(
             improved, jnp.zeros_like(st.since_improve), st.since_improve + 1
         )
-        converged = converged | (since_improve >= opts.stage_patience)
+        near_floor = gradient_norm < 20.0 * tol
+        converged = converged | (
+            (since_improve >= opts.stage_patience) & near_floor
+        )
+        converged = converged | (since_improve >= 3 * opts.stage_patience)
+        # A failed line search near the floor IS the floor signal —
+        # exit at once (capped fallback keeps the failing iteration
+        # cheap). Far from the floor a single failure can be a genuine
+        # deep backtrack; only repeated failure exits there.
+        converged = converged | ((st.consec_fallbacks >= 1) & near_floor)
         converged = converged | (st.consec_fallbacks >= 2)
     else:
         best_gnorm = st.best_gnorm
@@ -815,6 +925,8 @@ def init_state(x, covariance, opts: CoreOptions):
         best_gnorm=jnp.asarray(jnp.inf, dtype),
         since_improve=jnp.asarray(0, jnp.int32),
         consec_fallbacks=jnp.asarray(0, jnp.int32),
+        ls_calls=jnp.asarray(0, jnp.int32),
+        prev_alpha_exp=jnp.asarray(0, jnp.int32),
     )
     return state, initial_singular
 
@@ -875,9 +987,22 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
             opts,
             kernel_precision=precision,
             # Non-final tiers bail to the next tier on a gradient
-            # plateau (their noise floor is data-dependent); the final
-            # tier honors reference semantics (run to max_iter).
+            # plateau (their noise floor is data-dependent) and cap
+            # their line searches at 3 tries — every try is a full
+            # pass over X and a noisy tier's deep backtracking is pure
+            # waste; the final tier honors reference semantics (run to
+            # max_iter, ls_tries, 10 fallback tries).
             stage_patience=0 if final_stage else (opts.stage_patience or 10),
+            fallback_ls_tries=(
+                opts.fallback_ls_tries if final_stage else 3
+            ),
+            # Cheap-tier economics (see the CoreOptions fields): the
+            # bf16 tier accepts on plain absolute log-lik (half the
+            # VPU work, one fewer rotation dot); all non-final tiers
+            # warm-start alpha from the last accepted step. The final
+            # tier keeps exact reference line-search semantics.
+            plain_ls=(precision == "bf16" and not final_stage),
+            adaptive_alpha=not final_stage,
         )
         stage_tol = tol if floor is None else jnp.maximum(
             jnp.asarray(floor, x.dtype), tol
@@ -886,7 +1011,14 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
             # Re-measure the moments at the new precision and clear the
             # stage-convergence/plateau state; `it`/`n_iter_done` carry
             # over, so the boundary costs one moments pass, not an
-            # iteration.
+            # iteration. The L-BFGS ring and (g_old, prev_step) are
+            # ALSO cleared: a cross-tier curvature pair
+            # y_diff = g(new tier) - g(old tier) embeds the old tier's
+            # noise floor (~3e-4 for bf16), poisoning the first
+            # higher-precision directions; zeroed prev_step makes the
+            # first post-boundary push skip (denom = 0 -> r = inf),
+            # mirroring the reference's memory flush at sign changes
+            # (core.rs:330).
             moments = data_moments(state.w, x, stage_opts, need_h, need_ysq)
             state = state._replace(
                 moments=moments,
@@ -895,6 +1027,19 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
                 since_improve=jnp.asarray(0, jnp.int32),
                 consec_fallbacks=jnp.asarray(0, jnp.int32),
             )
+            if x.dtype != jnp.float64:
+                # At f64 every tier lowers to the same HIGHEST dots, so
+                # the carry must flow through untouched (the staged
+                # trajectory stays bit-identical to a single-stage run
+                # — asserted by tests/test_pallas.py); only when tiers
+                # genuinely differ is the cross-tier history poison.
+                state = state._replace(
+                    memory=state.memory._replace(
+                        count=jnp.zeros_like(state.memory.count)
+                    ),
+                    g_old=jnp.zeros_like(state.g_old),
+                    prev_step=jnp.zeros_like(state.prev_step),
+                )
 
         def body(st: CoreState, _opts=stage_opts, _tol=stage_tol):
             return _iteration_body(st, x, covariance, _tol, lambda_min, _opts)
@@ -918,6 +1063,7 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
         n_iterations=final.n_iter_done,
         signs=final.signs,
         stage_exits=jnp.stack(stage_exits),
+        ls_calls=final.ls_calls,
     )
 
 

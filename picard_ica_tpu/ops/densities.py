@@ -76,6 +76,16 @@ class Density(Protocol):
         """
         ...
 
+    def score_der_loglik(self, y) -> Tuple:
+        """Return ``(score, score_der, log_lik)`` of ``y`` with shared
+        transcendentals — the PLAIN (absolute) variant of the fused
+        pass: about half the VPU work of the delta form and one fewer
+        rotation dot, usable while the loss resolution of a direct
+        f32 subtraction (~1e-4 absolute) still exceeds the per-step
+        decreases (the cheap bf16 tier's whole working range).
+        """
+        ...
+
 
 @dataclasses.dataclass(frozen=True)
 class Tanh:
@@ -135,6 +145,19 @@ class Tanh:
         dll = d_abs + jnp.log1p(num / (1.0 + e_b)) / a
         return score, score_der, dll
 
+    def score_der_loglik(self, y):
+        # One exp serves score, derivative and log-lik:
+        #   e = exp(-2a|y|); tanh(a y) = sign(y)(1-e)/(1+e);
+        #   ll = |y| + log1p(e)/a.
+        a = self.alpha
+        abs_y = jnp.abs(y)
+        e = jnp.exp(-2.0 * a * abs_y)
+        t = (1.0 - e) / (1.0 + e)
+        score = jnp.sign(y) * t
+        score_der = a * (1.0 - t * t)
+        ll = abs_y + jnp.log1p(e) / a
+        return score, score_der, ll
+
 
 @dataclasses.dataclass(frozen=True)
 class Exp:
@@ -184,6 +207,12 @@ class Exp:
         )
         return score, score_der, dll
 
+    def score_der_loglik(self, y):
+        a = self.alpha
+        y_sq = y * y
+        k = jnp.exp(-a / 2.0 * y_sq)
+        return y * k, (1.0 - a * y_sq) * k, -k / a
+
 
 @dataclasses.dataclass(frozen=True)
 class Cube:
@@ -205,6 +234,10 @@ class Cube:
         y_new = y_old + dy
         y2 = y_new * y_new
         return y2 * y_new, 3.0 * y2, self.log_lik_delta(y_old, dy)
+
+    def score_der_loglik(self, y):
+        y2 = y * y
+        return y2 * y, 3.0 * y2, y2 * y2 / 4.0
 
 
 class DensityType:

@@ -251,6 +251,51 @@ def rotated_moments_sums(
     )
 
 
+def _covariance_kernel(x_ref, out_ref, *, t, bt, acc):
+    i = pl.program_id(0)
+    x_t = x_ref[...]
+    if t % bt != 0:
+        x_t = jnp.where(_mask_cols(i, bt, t, x_t.shape), x_t, 0.0)
+    out_ref[0] = jax.lax.dot_general(
+        x_t, x_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=acc, precision=_HI,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def covariance_sums(x, interpret: bool = False):
+    """Unnormalized ``X X^T`` via per-tile partials + tree fold.
+
+    Accuracy: each (N, bt) tile contributes one f32 MXU partial
+    (~eps*sqrt(bt) relative) and the cross-tile fold is pairwise, so
+    the total error is ~eps*log2(n_tiles) instead of the single-dot
+    ~eps*sqrt(T) — which matters because whitening eigenvectors
+    amplify covariance noise by 1/eigengap (ops/whitening.py).
+    Also compiles in seconds where the equivalent XLA chunked
+    scan/einsum takes minutes through this environment's remote
+    compiler.
+    """
+    n, t = x.shape
+    bt = _tile_t(n, t)
+    n_tiles = pl.cdiv(t, bt)
+    dtype = x.dtype
+
+    kernel = functools.partial(_covariance_kernel, t=t, bt=bt, acc=dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n, n), dtype),
+        interpret=interpret,
+    )(x)
+    return _reduce_partials(out, dtype)
+
+
 def _rotated_loglik_kernel(
     m_ref, x_ref, ll_ref, ysq_ref, *, density, need_ysq, t, bt, acc
 ):
@@ -315,7 +360,8 @@ def rotated_loglik_sums(
 
 def _rotated_fused_kernel(
     m_new_ref, m_old_ref, x_ref, dll_ref, dysq_ref, g_ref, pm_ref, h_ref,
-    ysq_ref, *, density, need_h, need_ysq, t, bt, acc, precision
+    ysq_ref, *, density, need_h, need_ysq, t, bt, acc, precision,
+    absolute_ll,
 ):
     """Line-search try + speculative moments in ONE read of the X tile.
 
@@ -334,38 +380,62 @@ def _rotated_fused_kernel(
     if t % bt != 0:
         x_t = jnp.where(_mask_cols(i, bt, t, x_t.shape), x_t, 0.0)
 
-    # Rotate the CURRENT matrix and the candidate DELTA, not two
-    # absolute rotations: dy = (M_new - M_old) @ x is small near
-    # convergence and carries full relative precision, so the loss
-    # delta below is cancellation-free (error ~eps * |dy| per element
-    # instead of ~eps * |log_lik| for a direct ll_new - ll_old — the
-    # difference between a line search that resolves true decreases at
-    # any tolerance and one whose accepts go noise-driven below
-    # gnorm ~1e-5).
     mm_dims = (((1,), (0,)), ((), ()))
-    dm = m_new_ref[...] - m_old_ref[...]
-    y_old = _kernel_dot(m_old_ref[...], x_t, mm_dims, acc, precision)
-    dy = _kernel_dot(dm, x_t, mm_dims, acc, precision)
-    y_new = y_old + dy
-
-    # One fused density call: score/derivative of the candidate and the
-    # cancellation-free loss delta share their transcendentals; exact 0
-    # at the (0, 0) padding.
-    psi, psi_d, dll = density.score_der_loglik_delta(y_old, dy)
-    if t % bt != 0:
-        psi_d = jnp.where(_mask_cols(i, bt, t, psi_d.shape), psi_d, 0.0)
-
     ct_dims = (((1,), (1,)), ((), ()))
-    dll_ref[0] = jnp.sum(dll, axis=1, keepdims=True)
+
+    if absolute_ll:
+        # PLAIN mode (cheap tiers): one rotation dot and the absolute
+        # per-row log-lik sums in the dll/dysq slots — about half the
+        # VPU transcendentals of the delta form. The caller's accept
+        # test is then a direct f32 subtraction against the carried
+        # loss (resolution ~1e-4 absolute, ample for the bf16 range).
+        y_new = _kernel_dot(m_new_ref[...], x_t, mm_dims, acc, precision)
+        psi, psi_d, ll = density.score_der_loglik(y_new)
+        if t % bt != 0:
+            mask = _mask_cols(i, bt, t, psi_d.shape)
+            psi_d = jnp.where(mask, psi_d, 0.0)
+            # log_lik(0) != 0 (e.g. tanh: log(2)/alpha) — mask padding.
+            ll = jnp.where(mask, ll, 0.0)
+        dll_ref[0] = jnp.sum(ll, axis=1, keepdims=True)
+        if need_ysq:
+            dysq_ref[0] = jnp.sum(y_new * y_new, axis=1, keepdims=True)
+        else:
+            dysq_ref[0] = jnp.zeros_like(dysq_ref[0])
+    else:
+        # Rotate the CURRENT matrix and the candidate DELTA, not two
+        # absolute rotations: dy = (M_new - M_old) @ x is small near
+        # convergence and carries full relative precision, so the loss
+        # delta below is cancellation-free (error ~eps * |dy| per
+        # element instead of ~eps * |log_lik| for a direct
+        # ll_new - ll_old — the difference between a line search that
+        # resolves true decreases at any tolerance and one whose
+        # accepts go noise-driven below gnorm ~1e-5).
+        dm = m_new_ref[...] - m_old_ref[...]
+        y_old = _kernel_dot(m_old_ref[...], x_t, mm_dims, acc, precision)
+        dy = _kernel_dot(dm, x_t, mm_dims, acc, precision)
+        y_new = y_old + dy
+
+        # One fused density call: score/derivative of the candidate and
+        # the cancellation-free loss delta share their transcendentals;
+        # exact 0 at the (0, 0) padding.
+        psi, psi_d, dll = density.score_der_loglik_delta(y_old, dy)
+        if t % bt != 0:
+            psi_d = jnp.where(_mask_cols(i, bt, t, psi_d.shape), psi_d, 0.0)
+        dll_ref[0] = jnp.sum(dll, axis=1, keepdims=True)
+        if need_ysq:
+            # y_new^2 - y_old^2 = (2 y_old + dy) dy — cancellation-free.
+            dysq_ref[0] = jnp.sum(
+                (2.0 * y_old + dy) * dy, axis=1, keepdims=True
+            )
+        else:
+            dysq_ref[0] = jnp.zeros_like(dysq_ref[0])
+
     g_ref[0] = _kernel_dot(psi, y_new, ct_dims, acc, precision)
     pm_ref[0] = jnp.sum(psi_d, axis=1, keepdims=True)
 
     if need_ysq:
-        # y_new^2 - y_old^2 = (2 y_old + dy) dy — also cancellation-free.
-        dysq_ref[0] = jnp.sum((2.0 * y_old + dy) * dy, axis=1, keepdims=True)
         ysq_ref[0] = jnp.sum(y_new * y_new, axis=1, keepdims=True)
     else:
-        dysq_ref[0] = jnp.zeros_like(dysq_ref[0])
         ysq_ref[0] = jnp.zeros_like(ysq_ref[0])
     if need_h:
         h_ref[0] = _kernel_dot(psi_d, y_new * y_new, ct_dims, acc, precision)
@@ -375,18 +445,25 @@ def _rotated_fused_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("density", "need_h", "need_ysq", "interpret", "precision"),
+    static_argnames=(
+        "density", "need_h", "need_ysq", "interpret", "precision",
+        "absolute_ll",
+    ),
 )
 def rotated_fused_sums(
     m_new, m_old, x, density: Density, need_h: bool, need_ysq: bool,
     interpret: bool = False, precision: str = "f32",
+    absolute_ll: bool = False,
 ):
     """Unnormalized fused line-search-try + moments sums.
 
     Returns ``(dll, dysq, g, pm, h, ysq)`` where dll/dysq are the
     per-row sums of ``log_lik(M_new X) - log_lik(M_old X)`` (and the
     Y^2 delta), and g/pm/h/ysq are the raw moment sums of
-    ``Y = M_new @ X`` as in :func:`rotated_moments_sums`.
+    ``Y = M_new @ X`` as in :func:`rotated_moments_sums`. With
+    ``absolute_ll=True`` the dll/dysq slots hold the ABSOLUTE
+    ``log_lik(M_new X)`` / ``(M_new X)^2`` row sums instead (the plain
+    cheap-tier accept path; m_old is ignored).
     """
     n, t = x.shape
     bt = _tile_t(n, t)
@@ -396,6 +473,7 @@ def rotated_fused_sums(
     kernel = functools.partial(
         _rotated_fused_kernel, density=density, need_h=need_h,
         need_ysq=need_ysq, t=t, bt=bt, acc=dtype, precision=precision,
+        absolute_ll=absolute_ll,
     )
 
     dll, dysq, g, pm, h, ysq = pl.pallas_call(

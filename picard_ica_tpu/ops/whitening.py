@@ -144,27 +144,50 @@ def whitening_matrix_from_covariance(cov, n_samples: int, n_components: int):
     return k * row_sign, min_sv
 
 
+@jax.jit
+def _covariance_chunked(x) -> jnp.ndarray:
+    n, t = x.shape
+    bt = _chunk_len(t)
+    pad = (-t) % bt
+    xp = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
+    xc = jnp.moveaxis(xp.reshape(n, -1, bt), 1, 0)  # (n_chunks, n, bt)
+
+    # lax.scan (one traced step) instead of a batched einsum: the
+    # remote TPU compiler takes minutes on the wide batched contraction
+    # but seconds on the scanned form, and runtime is MXU-equivalent.
+    def step(carry, x_chunk):
+        return carry, jnp.dot(x_chunk, x_chunk.T, precision=_HI)
+
+    _, partials = jax.lax.scan(step, jnp.zeros((), x.dtype), xc)
+    return _fold_pairwise(partials)
+
+
 def _covariance(x) -> jnp.ndarray:
     """``X X^T`` (unnormalized) with chunked f32 accumulation.
 
     A single f32 MXU dot accumulates over all T with ~sqrt(T)*eps
     relative error; chunking the T axis and tree-folding the (tiny)
     N x N chunk partials keeps the error at ~eps*log2(n_chunks).
-    Sharded-friendly: the chunked einsum is still one local pass over
+    Sharded-friendly: the chunked scan is still one local pass over
     X (+ psum under SPMD). f64 inputs take the plain dot.
     """
-    n, t = x.shape
+    t = x.shape[1]
     if x.dtype == jnp.float64 or t <= 2048:
         return jnp.dot(x, x.T, precision=_HI)
-    bt = _chunk_len(t)
-    pad = (-t) % bt
-    xp = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
-    xc = xp.reshape(n, -1, bt)
-    partials = jnp.einsum(
-        "ict,jct->cij", xc, xc, precision=_HI,
-        preferred_element_type=x.dtype,
-    )
-    return _fold_pairwise(partials)
+    # Mesh-sharded input: the sequential chunk scan would serialize
+    # across devices; keep the single GSPMD dot (each shard already
+    # accumulates only T/n_devices samples + psum, which divides the
+    # accumulation error by sqrt(n_devices)).
+    if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1:
+        return jnp.dot(x, x.T, precision=_HI)
+    if jax.default_backend() == "tpu" and x.shape[0] <= 512:
+        # Pallas tile partials + tree fold: same accuracy design,
+        # compiles in seconds (the XLA chunked forms take minutes on
+        # this environment's remote compiler).
+        from .pallas_kernels import covariance_sums
+
+        return covariance_sums(x)
+    return _covariance_chunked(x)
 
 
 def whiten(x, n_components: int) -> WhiteningResult:

@@ -185,7 +185,7 @@ class TestLossAndLineSearch:
         loss0 = compute_loss(w, x, jnp.ones(2), opts)
         # A small skew rotation direction.
         direction = jnp.asarray([[0.0, 1e-3], [-1e-3, 0.0]])
-        success, w_n, loss_n, step, _moments = line_search(
+        success, w_n, loss_n, step, _moments, _tries, _exp = line_search(
             x, w, direction, jnp.ones(2), loss0, jnp.asarray(10), opts
         )
         # Whatever alpha is accepted (or not), invariants hold:
@@ -200,7 +200,7 @@ class TestLossAndLineSearch:
         x = jnp.zeros((2, 200))
         w = jnp.eye(2)
         opts = _opts(ortho=True, extended=False)
-        success, _, _, step, _moments = line_search(
+        success, _, _, step, _moments, _tries, _exp = line_search(
             x,
             w,
             jnp.asarray([[0.0, 1.0], [-1.0, 0.0]]),
