@@ -35,6 +35,7 @@ iterations (see _precision_stages).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -168,6 +169,42 @@ def _dot(a, b):
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+@functools.lru_cache(maxsize=1)
+def _callbacks_supported() -> bool:
+    """Whether this backend can host-callback out of jitted code.
+
+    Some TPU runtimes (e.g. the axon PJRT tunnel) reject host
+    send/recv, which breaks ``jax.debug.print`` inside jit — probe
+    once with a no-op callback so ``verbose`` degrades to the
+    post-fit summary instead of crashing the fit (solver.py).
+    """
+    try:
+        # Static check first: the axon PJRT tunnel advertises itself in
+        # platform_version and rejects host send/recv — and a FAILED
+        # runtime probe can leave a deferred async error that poisons
+        # the next dispatch, so don't even try there.
+        version = getattr(
+            jax.devices()[0].client, "platform_version", ""
+        ) or ""
+        if "axon" in version.lower():
+            return False
+
+        from jax.experimental import io_callback
+
+        def probe(v):
+            # The callback result feeds the output so no pass can DCE
+            # it — a plain no-op debug.callback gets pruned and the
+            # probe would falsely pass where send/recv is unsupported.
+            return io_callback(
+                lambda u: u, jax.ShapeDtypeStruct((), jnp.float32), v
+            )
+
+        jax.block_until_ready(jax.jit(probe)(jnp.zeros((), jnp.float32)))
+        return True
+    except Exception:  # pragma: no cover - backend-specific failure
+        return False
 
 
 # ---------------------------------------------------------------------------
@@ -731,7 +768,10 @@ def _iteration_update(st: CoreState, x, g, h, h_off, signs, old_signs, sign_chan
     else:
         c = st.c
 
-    if opts.verbose:
+    if opts.verbose and _callbacks_supported():
+        # Reference per-iteration print (core.rs:383-390). On backends
+        # without host callbacks the fit stays silent here and the
+        # facade prints the post-fit stage summary instead.
         jax.debug.print(
             "iteration {it}, gradient norm = {gn:.4e}, loss = {l:.4e}",
             it=st.it + 1, gn=gradient_norm, l=new_loss,
@@ -1045,7 +1085,7 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
             return _iteration_body(st, x, covariance, _tol, lambda_min, _opts)
 
         state = lax.while_loop(cond, body, state)
-        stage_exits.append(state.it)
+        stage_exits.append(state.n_iter_done)
 
     final = state
 

@@ -31,6 +31,7 @@ import numpy as np
 from jax import lax
 
 from ..ops.linalg import sym_decorrelation_with_mineig
+from .core import _callbacks_supported
 
 _ANGLE_EPS = 1e-15  # jade.rs:175
 
@@ -239,7 +240,7 @@ def _jacobi_sweeps(cumulants, n: int, max_iter: int, tol, verbose: bool):
         v, r, max_theta = lax.fori_loop(
             0, n_rounds, round_body, (v, r, jnp.asarray(0.0, dtype))
         )
-        if verbose:
+        if verbose and _callbacks_supported():
             jax.debug.print(
                 "JADE iteration {it}: max angle = {mt:.4e}", it=sweep + 1, mt=max_theta
             )
@@ -265,7 +266,7 @@ def jade(x, max_iter: int, tol: float = 1e-6, verbose: bool = False,
         return jnp.eye(n, dtype=x.dtype), jnp.asarray(1.0, x.dtype)
 
     cumulants = compute_cumulant_matrices(x, data_sharding=data_sharding)
-    if verbose:
+    if verbose and _callbacks_supported():
         jax.debug.print(
             "JADE: {k} cumulant matrices computed", k=cumulants.shape[0]
         )

@@ -32,6 +32,20 @@ class PicardResult:
     gradient_norm: float
     # Sub/super-Gaussian signs per component; None unless extended mode.
     signs: Optional[jnp.ndarray]
+    # --- observability extensions (reference: verbose prints only,
+    # core.rs:383-390; here the diagnostics ride the result because
+    # in-jit printing is unavailable on some TPU runtimes) ---
+    # Iteration number at which each precision stage exited (one entry
+    # per stage of models/core._precision_stages; a single entry for
+    # pinned precisions / the XLA path).
+    stage_exits: Optional[tuple] = None
+    # Precision name per stage, aligned with stage_exits.
+    stage_precisions: Optional[tuple] = None
+    # Total fused line-search passes over the data (accepted +
+    # rejected tries incl. GD fallbacks) — each is one streaming read
+    # of X, the dominant cost; ls_calls / n_iterations is the
+    # optimizer-efficiency diagnostic.
+    ls_calls: Optional[int] = None
 
     def full_unmixing(self) -> jnp.ndarray:
         """``W @ K`` when whitened, else ``W`` (result.rs:39-44).

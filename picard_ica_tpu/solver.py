@@ -248,6 +248,26 @@ class Picard:
         gradient_norm = float(core.gradient_norm)
         n_iterations = int(core.n_iterations)
 
+        from .models.core import _precision_stages
+
+        stage_precisions = tuple(p for p, _ in _precision_stages(opts))
+        stage_exits = tuple(int(v) for v in np.asarray(core.stage_exits))
+        ls_calls = int(core.ls_calls)
+
+        if config.verbose:
+            # Post-fit summary — works on every backend, including TPU
+            # runtimes without host callbacks (where the reference's
+            # per-iteration print, core.rs:383-390, cannot run in-jit).
+            stages = ", ".join(
+                f"{p}->it{e}" for p, e in zip(stage_precisions, stage_exits)
+            )
+            print(
+                f"Picard finished: {n_iterations} iterations "
+                f"({ls_calls} line-search passes), gradient norm "
+                f"{gradient_norm:.4e}, stages [{stages}]",
+                file=sys.stderr,
+            )
+
         if not converged:
             if config.raise_on_no_convergence:
                 from .errors import NotConvergedError
@@ -269,6 +289,9 @@ class Picard:
             converged=converged,
             gradient_norm=gradient_norm,
             signs=core.signs if extended else None,
+            stage_exits=stage_exits,
+            stage_precisions=stage_precisions,
+            ls_calls=ls_calls,
         )
 
     @staticmethod

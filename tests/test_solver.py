@@ -280,3 +280,20 @@ def test_whiten_precision_device_forces_device_path():
     from picard_ica_tpu.utils import amari_distance
 
     assert amari_distance(np.asarray(res.full_unmixing()), a) < 5e-2
+
+
+def test_result_diagnostics_and_verbose_summary(capsys):
+    """Observability: stage exits / line-search pass counts ride the
+    result, and verbose prints a post-fit summary that works on
+    backends without host callbacks (SURVEY.md §5 metrics row)."""
+    _, _, x = generate_test_data(4, 3000, seed=6)
+    res = Picard.fit(
+        x, PicardConfig(random_state=0, verbose=True, max_iter=80, tol=1e-5)
+    )
+    assert res.stage_precisions is not None
+    assert len(res.stage_precisions) == len(res.stage_exits)
+    assert res.stage_exits[-1] == res.n_iterations
+    # Every iteration but the last runs at least one fused pass.
+    assert res.ls_calls >= res.n_iterations - 1
+    err = capsys.readouterr().err
+    assert "line-search passes" in err
