@@ -259,25 +259,60 @@ def group_baseline_configs(records, reps, quick):
     print(f"baseline 2 (32x100k): {r['samples_per_s']:.3e} samples/s "
           f"({r['iters']} iters, gnorm {r['gradient_norm']:.1e})", file=sys.stderr)
 
-    # Config 3: extended 64 x 500k mixed sub+super.
+    # Config 3: extended 64 x 500k mixed sub+super — run with BOTH the
+    # default tanh AND the cube density (BASELINE.json: "cube+tanh").
+    from picard_ica_tpu.ops.densities import Cube
+
     n, t = 64, 500_000
     x, mixing = _mixed_data(n, t)
     r = _core_throughput(x, n, tol, 200, core_kw, reps)
-    records.append({"group": "baseline_3_extended_mixed", "n": n, "t": t, **r})
-    print(f"baseline 3 (64x500k ext): {r['samples_per_s']:.3e} samples/s "
+    records.append({"group": "baseline_3_extended_mixed", "n": n, "t": t,
+                    "density": "tanh", **r})
+    print(f"baseline 3 (64x500k ext, tanh): {r['samples_per_s']:.3e} samples/s "
           f"({r['iters']} iters)", file=sys.stderr)
+    cube_kw = dict(core_kw, density=Cube())
+    r = _core_throughput(x, n, tol, 200, cube_kw, reps)
+    records.append({"group": "baseline_3_extended_mixed", "n": n, "t": t,
+                    "density": "cube", **r})
+    print(f"baseline 3 (64x500k ext, cube): {r['samples_per_s']:.3e} samples/s "
+          f"({r['iters']} iters, gnorm {r['gradient_norm']:.1e})",
+          file=sys.stderr)
 
-    # Config 4: JADE(50) warm start -> Picard, 128 x 1M.
+    # Config 4: JADE(50) warm start -> Picard, 128 x 1M. f64 input so
+    # the facade's host-f64 preprocessing runs (reference-parity
+    # pipeline), plus an oracle cross-check from the SAME warm start.
+    from picard_ica_tpu.utils.datagen import generate_mixed_kurtosis_data
+
     n, t = (64, 200_000) if quick else (128, 1_000_000)
-    x, mixing = _mixed_data(n, t, seed=7)
+    _, mixing, x64 = generate_mixed_kurtosis_data(n, t, seed=7)
     cfg = PicardConfig(jade_it=50, random_state=0, tol=1e-7, max_iter=200)
-    secs, res = _time_fit(x, cfg, 1)
+    secs, res = _time_fit(x64, cfg, 1)
     amari = amari_distance(np.asarray(res.full_unmixing()), mixing)
-    records.append({
+    rec = {
         "group": "baseline_4_jade_warm", "n": n, "t": t, "wall_s": secs,
         "iters": res.n_iterations, "amari_vs_truth": amari,
-    })
-    print(f"baseline 4 (JADE->{n}x{t}): {secs:.2f} s amari={amari:.2e}",
+    }
+    if native.available() and not quick:
+        import jax.numpy as jnp
+
+        from picard_ica_tpu.models.jade import jade_jit
+        from picard_ica_tpu.ops.whitening import preprocess_f64
+
+        data_h, _, k_h = preprocess_f64(x64, n, True, True)
+        w_init, _ = jade_jit(
+            jnp.asarray(data_h.astype(np.float32)), 50, 1e-6, False
+        )
+        w_init64 = np.asarray(w_init, np.float64)
+        res_o = native.oracle_core(
+            w_init64 @ data_h, np.eye(n), ortho=True, extended=True,
+            max_iter=200, tol=1e-7,
+        )
+        w_o = res_o["w"] @ w_init64 @ k_h
+        rec["amari_oracle_vs_truth"] = amari_distance(w_o, mixing)
+        rec["amari_vs_oracle_matched_start"] = "see oracle_conformance"
+    records.append(rec)
+    print(f"baseline 4 (JADE->{n}x{t}): {secs:.2f} s amari={amari:.2e} "
+          f"oracle_floor={rec.get('amari_oracle_vs_truth', float('nan')):.2e}",
           file=sys.stderr)
 
     # Config 5: EEG/MEG-scale 256 x T, extended+ortho. T picked for

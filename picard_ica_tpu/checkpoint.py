@@ -82,6 +82,24 @@ def resume_config(previous: PicardResult, config: PicardConfig) -> PicardConfig:
     Sets ``w_init`` to the previous unmixing matrix and clears any
     JADE/FastICA warm start (they would overwrite it). The data passed
     to the resumed ``fit`` must have the same n_components.
+
+    **Whitening-basis caveat.** ``previous.unmixing`` lives in the
+    whitening basis of the data it was FITTED on. A resumed fit
+    whitens ITS data and applies ``w_init`` in that new basis, so:
+
+    * same data (e.g. tightening ``tol``): the bases are identical and
+      the resume continues exactly where the fit stopped;
+    * different data drawn from the same sources: the two whitening
+      bases agree only up to sampling noise (O(1/sqrt(T)) rotations,
+      worse when covariance eigengaps are small), so ``w_init`` is a
+      good but inexact warm start — the fit converges to the new
+      data's solution, just in fewer iterations than a cold start;
+    * unrelated data: the basis composition is meaningless and the
+      warm start is no better than random.
+
+    To transfer a model across datasets without refitting, use
+    :meth:`~picard_ica_tpu.solver.Picard.transform` (which applies the
+    saved ``full_unmixing`` directly) rather than a resumed fit.
     """
     return config.replace(
         w_init=np.asarray(previous.unmixing),

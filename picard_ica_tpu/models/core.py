@@ -821,6 +821,11 @@ def _iteration_body(st: CoreState, x, covariance, tol, lambda_min, opts: CoreOpt
         # Kurtosis-based sub/super-Gaussian sign detection (core.rs:225-237).
         k = pm0 * jnp.diagonal(st.c) - jnp.diagonal(g)
         # f64::signum maps +0.0 -> 1.0; match that, not jnp.sign's 0.
+        # Deliberate deviation at the measure-zero knife edge k == -0.0
+        # (Rust signum gives -1.0 there; ``-0.0 >= 0`` is True here and
+        # in the C++ oracle, so both OUR implementations agree) — and a
+        # NaN k maps to -1 rather than propagating, which the singular
+        # 1e15 loss path catches downstream anyway.
         signs = jnp.where(k >= 0, 1.0, -1.0).astype(dtype)
         sign_change = (st.it > 0) & jnp.any(signs != st.old_signs)
         old_signs = signs
@@ -999,7 +1004,17 @@ def _precision_stages(opts: CoreOptions):
     # cheap iterations (32 vs 19). The basin is decided late, at
     # accurate tiers, so the cheap tier stays in the schedule
     # (docs/DESIGN.md §7).
-    return [("bf16", 3e-4), ("bf16x3", 4e-7), ("f32", None)]
+    #
+    # Handoff thresholds are DENSITY-AWARE: the cheap tiers' gradient
+    # noise floors are properties of the density's moment dynamic
+    # range (cube floors ~10x above tanh's — measured values on the
+    # density classes, ops/densities.py).
+    d = opts.density
+    return [
+        ("bf16", getattr(d, "bf16_handoff", 3e-4)),
+        ("bf16x3", getattr(d, "bf16x3_handoff", 4e-7)),
+        ("f32", None),
+    ]
 
 
 def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> CoreResult:

@@ -93,6 +93,12 @@ class Tanh:
 
     alpha: float = 1.0
 
+    # Staged-precision handoff thresholds (~2.5x the measured gradient
+    # noise floor of each cheap MXU tier on TPU v5e at N=64/T=1M:
+    # bf16 ~1.1e-4, bf16x3 ~1.5e-7; see models/core._precision_stages).
+    bf16_handoff = 3e-4
+    bf16x3_handoff = 4e-7
+
     def log_lik(self, y):
         a = self.alpha
         abs_y = jnp.abs(y)
@@ -165,6 +171,10 @@ class Exp:
 
     alpha: float = 1.0
 
+    # Measured floors match tanh's (bf16 ~1.3e-4, bf16x3 ~1.8e-7).
+    bf16_handoff = 3e-4
+    bf16x3_handoff = 4e-7
+
     def log_lik(self, y):
         a = self.alpha
         return -jnp.exp(-a * y * y / 2.0) / a
@@ -217,6 +227,13 @@ class Exp:
 @dataclasses.dataclass(frozen=True)
 class Cube:
     """Cubic density for sub-Gaussian (e.g. uniform) sources."""
+
+    # y^3 amplifies tail dynamic range into the moment contractions:
+    # measured cheap-tier floors sit ~10x above tanh's (bf16 ~1.1e-3,
+    # bf16x3 ~1.4e-6 at N=64/T=1M) — the staged schedule must hand off
+    # earlier or the bf16 tier stalls below its reachable range.
+    bf16_handoff = 3e-3
+    bf16x3_handoff = 4e-6
 
     def log_lik(self, y):
         y2 = y * y

@@ -82,8 +82,9 @@ def matrix_exp(a):
     matrices are tiny (N x N), so the sequential dependence of a while
     loop costs far more in per-step dispatch than the few masked spare
     matmuls; masking reproduces the early-exit semantics bit-for-bit
-    (a term below 1e-16 is never added, a squaring past s is skipped).
-    Only the pathological s > 16 tail stays a while_loop.
+    (like the reference's while loop, the FIRST below-tolerance term
+    is still added and no term after it; a squaring past s is
+    skipped). Only the pathological s > 16 tail stays a while_loop.
     """
     n = a.shape[0]
     dtype = a.dtype

@@ -60,11 +60,11 @@ def _dot_bf16x3(a, b, dims, acc):
     dot for f64 (CPU conformance runs), where bf16 splitting would
     LOSE precision.
 
-    Measured on v5e (N=64, T=1M): currently SLOWER than the HIGHEST
-    path under Mosaic (the splits defeat its matmul pipelining at
-    these shapes) and the G noise floor (~3e-6) misses tol=1e-7 —
-    kept behind the "bf16x3" flag for future hardware/compiler
-    generations, not used by default.
+    This is the middle tier of the default "auto" staged schedule
+    (models/core._precision_stages). Measured gradient-norm floor with
+    the analytic line-search delta: ~1.5e-7 (tanh/exp; ~1.4e-6 for
+    cube) — an early measurement of ~3e-6 predated the delta form,
+    whose cancellation, not this dot, was the limiter.
     """
     if acc == jnp.float64:
         return jax.lax.dot_general(a, b, dims, preferred_element_type=acc,
@@ -106,26 +106,50 @@ def _kernel_dot(a, b, dims, acc, precision: str):
                                precision=_HI)
 
 
-def _tile_t(n: int, t: int) -> int:
+_VMEM_BUDGET = 12 * 1024 * 1024  # of the 16MB scoped-VMEM limit
+# Peak live (N, bt) f32 buffers (x tile double-buffered by the
+# pipeline, rotated copies, score/derivative/log-lik intermediates)
+# and resident (N, N) weight blocks, per kernel flavor.
+_DELTA_BUFS, _DELTA_WEIGHTS = 11, 2
+_PLAIN_BUFS, _PLAIN_WEIGHTS = 8, 1
+
+
+def _tile_t(n: int, t: int, n_bufs: int = _DELTA_BUFS,
+            n_weights: int = _DELTA_WEIGHTS) -> int:
     """Pick a T-tile: multiple of 128 lanes, VMEM-friendly vs N.
 
-    The fused line-search kernel holds the deepest working set: the
-    x tile (double-buffered by the pipeline), the rotated copies, the
-    score/derivative/delta intermediates — about 9 live (N, bt) f32
-    buffers at peak — plus the two resident (N, N) weight blocks. The
-    budget keeps that near ~12MB of the 16MB scoped-VMEM limit
-    (verified to N=256 at T=2M; 2MB x-tiles compile-OOM at N=128).
-    Beyond N ~ 700 the weight blocks alone approach the limit — the
-    solver routes such sizes to the XLA path (see solver.py).
+    The fused line-search kernel holds the deepest working set (see
+    the buffer counts above); the budget keeps it near ~12MB of the
+    16MB scoped-VMEM limit (verified to N=256 at T=2M; 2MB x-tiles
+    compile-OOM at N=128). Beyond :func:`max_fused_n` the weight
+    blocks alone bust the budget — the solver routes such sizes to
+    the XLA path (see solver.py).
     """
     if t <= 512:
         # Tiny inputs (tests): one tile, rounded up to the lane width.
         return max(128, -(-t // 128) * 128)
-    weights = 2 * n * n * 4
-    avail = 12 * 1024 * 1024 - weights
-    budget = max(avail, 0) // (11 * n * 4)
+    weights = n_weights * n * n * 4
+    avail = _VMEM_BUDGET - weights
+    budget = max(avail, 0) // (n_bufs * n * 4)
     bt = max(256, min(4096, budget))
     return (bt // 128) * 128
+
+
+def max_fused_n(absolute_ll: bool = False) -> int:
+    """Largest N whose fused kernel compiles within the 16MB
+    scoped-VMEM limit at the minimum 256-lane tile — the routing
+    threshold solver.py uses.
+
+    Empirically verified on v5e (Mosaic's true peak includes the
+    (1, N, N) output blocks and pipeline double-buffering beyond the
+    analytic input-side model): the delta kernel compiles at N=512 and
+    OOMs at 576 (measured peak 16.5M at N=704); the plain kernel (one
+    resident weight block, no dy intermediates) compiles at 576 and
+    OOMs at 640. Larger N routes to the XLA/GSPMD path, which is
+    equally MXU-bound at those sizes (the extra materialized-Y HBM
+    traffic is not the bottleneck).
+    """
+    return 576 if absolute_ll else 512
 
 
 def _mask_cols(i, bt, t, shape):
@@ -466,7 +490,10 @@ def rotated_fused_sums(
     cheap-tier accept path; m_old is ignored).
     """
     n, t = x.shape
-    bt = _tile_t(n, t)
+    if absolute_ll:
+        bt = _tile_t(n, t, _PLAIN_BUFS, _PLAIN_WEIGHTS)
+    else:
+        bt = _tile_t(n, t)
     n_tiles = pl.cdiv(t, bt)
     dtype = x.dtype
 

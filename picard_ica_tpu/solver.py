@@ -217,12 +217,16 @@ class Picard:
         use_pallas = config.use_pallas
         if use_pallas is None:
             # Fused kernels are the fast path on TPU; elsewhere the XLA
-            # path is both faster and f64-capable. Above N ~ 700 the
-            # kernel's two resident (N, N) weight blocks approach the
-            # 16MB scoped-VMEM limit (ops/pallas_kernels._tile_t), so
-            # huge-N fits route to the XLA path.
+            # path is both faster and f64-capable. The N limit is the
+            # measured compile boundary of the delta kernel's VMEM
+            # working set (ops/pallas_kernels.max_fused_n); larger fits
+            # route to the XLA path, which GSPMD handles (equally
+            # MXU-bound at those sizes).
+            from .ops.pallas_kernels import max_fused_n
+
             use_pallas = (
-                jax.default_backend() == "tpu" and actual_components <= 512
+                jax.default_backend() == "tpu"
+                and actual_components <= max_fused_n()
             )
 
         opts = CoreOptions(

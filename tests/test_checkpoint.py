@@ -66,3 +66,30 @@ def test_resume_reaches_tighter_tolerance(tmp_path, fitted):
     # in far fewer iterations than the cold run took.
     assert result2.n_iterations <= result.n_iterations
     assert result2.gradient_norm <= result.gradient_norm * 10
+
+
+def test_resume_on_fresh_data_from_same_sources():
+    """The resume_config whitening-basis caveat, exercised: a warm
+    start from data A speeds up a fit on fresh data B drawn from the
+    same sources, and both fits separate (the bases differ only by
+    sampling noise)."""
+    import numpy as np
+
+    from picard_ica_tpu import Picard, PicardConfig
+    from picard_ica_tpu.checkpoint import resume_config
+    from picard_ica_tpu.utils import amari_distance
+
+    rng = np.random.default_rng(33)
+    mixing = rng.standard_normal((4, 4))
+    s_a = rng.laplace(size=(4, 20_000))
+    s_b = rng.laplace(size=(4, 20_000))
+
+    cfg = PicardConfig(random_state=0, tol=1e-6)
+    res_a = Picard.fit(mixing @ s_a, cfg)
+    assert res_a.converged
+
+    cold = Picard.fit(mixing @ s_b, cfg)
+    warm = Picard.fit(mixing @ s_b, resume_config(res_a, cfg))
+    assert warm.converged
+    assert warm.n_iterations <= cold.n_iterations
+    assert amari_distance(np.asarray(warm.full_unmixing()), mixing) < 5e-3

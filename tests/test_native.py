@@ -184,3 +184,45 @@ def test_oracle_core_agrees_on_mixed_kurtosis(ortho):
     if ortho:
         np.testing.assert_array_equal(res_o["signs"], np.asarray(res_j.signs))
         assert abs(res_o["n_iterations"] - int(res_j.n_iterations)) <= 2
+
+
+@pytest.mark.parametrize("density_name,density_obj", [
+    ("exp", None), ("cube", None),
+])
+def test_oracle_core_agrees_with_jax_exp_cube(density_name, density_obj):
+    """Exp/Cube get the same f64 oracle-lockstep guarantee as Tanh
+    (VERDICT r1 gap: the reference treats all three densities equally,
+    density.rs:85-130)."""
+    from picard_ica_tpu.ops.densities import Cube, Exp
+
+    n, t = 8, 16384
+    if density_name == "exp":
+        x = generate_bench_data(n, t, seed=13)        # super-Gaussian
+        density_obj = Exp()
+        extended = True
+    else:
+        rng = np.random.default_rng(14)               # sub-Gaussian
+        s = rng.uniform(-np.sqrt(3.0), np.sqrt(3.0), size=(n, t))
+        x = rng.standard_normal((n, n)) @ s
+        density_obj = Cube()
+        extended = True
+
+    xc, _ = native.oracle_center(np.asarray(x, np.float64))
+    xw, _ = native.oracle_whiten(xc, n)
+
+    res_o = native.oracle_core(
+        xw, np.eye(n), density=density_name, ortho=True, extended=extended,
+        max_iter=400, tol=1e-7,
+    )
+    opts = CoreOptions(
+        density=density_obj, ortho=True, extended=extended, has_cov=True,
+        m=7, ls_tries=10, use_pallas=False,
+    )
+    res_j = run_core_jit(jnp.asarray(xw), jnp.eye(n, dtype=jnp.float64),
+                         1e-7, 0.01, 400, opts)
+
+    assert res_o["converged"] and bool(res_j.converged)
+    amari = amari_distance(res_o["w"], np.linalg.inv(np.asarray(res_j.w)))
+    assert amari < 1e-9, f"{density_name}: amari={amari}"
+    assert abs(res_o["n_iterations"] - int(res_j.n_iterations)) <= 2
+    np.testing.assert_array_equal(res_o["signs"], np.asarray(res_j.signs))
