@@ -173,13 +173,19 @@ def _core_throughput(x_np, n, tol, max_iter, opts_kw, reps):
         jax.block_until_ready(res)
         best = min(best, time.perf_counter() - t0)
     iters = int(res.n_iterations)
-    return {
+    rec = {
         "samples_per_s": t * iters / best,
         "iters": iters,
         "converged": bool(res.converged),
         "gradient_norm": float(res.gradient_norm),
         "wall_s": best,
     }
+    if best < 0.15:
+        # This environment dispatches through a TPU tunnel with ~35 ms
+        # fixed per-launch overhead (CLAUDE.md): sub-150 ms walls
+        # measure the tunnel, not the chip.
+        rec["overhead_bound"] = True
+    return rec
 
 
 def group_baseline_configs(records, reps, quick):

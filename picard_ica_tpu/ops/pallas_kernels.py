@@ -245,6 +245,14 @@ def rotated_moments_sums(
         acc=dtype,
     )
 
+    h_dim = n if need_h else 1
+    ysq_dim = n if need_ysq else 1
+
+    def spec(rows, cols):
+        return pl.BlockSpec(
+            (1, rows, cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+
     g, pm, h, ysq = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -253,16 +261,16 @@ def rotated_moments_sums(
             pl.BlockSpec((n, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            spec(n, n),
+            spec(n, 1),
+            spec(h_dim, h_dim),
+            spec(ysq_dim, 1),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, n, n), dtype),
             jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
-            jax.ShapeDtypeStruct((n_tiles, n, n), dtype),
-            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
+            jax.ShapeDtypeStruct((n_tiles, h_dim, h_dim), dtype),
+            jax.ShapeDtypeStruct((n_tiles, ysq_dim, 1), dtype),
         ],
         interpret=interpret,
     )(w.astype(dtype), x)
@@ -270,8 +278,10 @@ def rotated_moments_sums(
     return (
         _reduce_partials(g, dtype),
         _reduce_partials(pm, dtype)[:, 0],
-        _reduce_partials(h, dtype),
-        _reduce_partials(ysq, dtype)[:, 0],
+        (_reduce_partials(h, dtype) if need_h
+         else jnp.zeros((n, n), dtype)),
+        (_reduce_partials(ysq, dtype)[:, 0] if need_ysq
+         else jnp.zeros((n,), dtype)),
     )
 
 
@@ -503,6 +513,17 @@ def rotated_fused_sums(
         absolute_ll=absolute_ll,
     )
 
+    # Unused outputs shrink to (1, 1) dummies: a full (n_tiles, N, N)
+    # zero H-partial costs ~585 MB of HBM at N=256/T=2M per live call
+    # — enough to OOM the chip at BASELINE config-5 scale.
+    h_dim = n if need_h else 1
+    ysq_dim = n if need_ysq else 1
+
+    def spec(rows, cols):
+        return pl.BlockSpec(
+            (1, rows, cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+
     dll, dysq, g, pm, h, ysq = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -512,31 +533,34 @@ def rotated_fused_sums(
             pl.BlockSpec((n, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            spec(n, 1),
+            spec(ysq_dim, 1),
+            spec(n, n),
+            spec(n, 1),
+            spec(h_dim, h_dim),
+            spec(ysq_dim, 1),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
-            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
+            jax.ShapeDtypeStruct((n_tiles, ysq_dim, 1), dtype),
             jax.ShapeDtypeStruct((n_tiles, n, n), dtype),
             jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
-            jax.ShapeDtypeStruct((n_tiles, n, n), dtype),
-            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
+            jax.ShapeDtypeStruct((n_tiles, h_dim, h_dim), dtype),
+            jax.ShapeDtypeStruct((n_tiles, ysq_dim, 1), dtype),
         ],
         interpret=interpret,
     )(m_new.astype(dtype), m_old.astype(dtype), x)
 
     return (
         _reduce_partials(dll, dtype)[:, 0],
-        _reduce_partials(dysq, dtype)[:, 0],
+        (_reduce_partials(dysq, dtype)[:, 0] if need_ysq
+         else jnp.zeros((n,), dtype)),
         _reduce_partials(g, dtype),
         _reduce_partials(pm, dtype)[:, 0],
-        _reduce_partials(h, dtype),
-        _reduce_partials(ysq, dtype)[:, 0],
+        (_reduce_partials(h, dtype) if need_h
+         else jnp.zeros((n, n), dtype)),
+        (_reduce_partials(ysq, dtype)[:, 0] if need_ysq
+         else jnp.zeros((n,), dtype)),
     )
 
 
