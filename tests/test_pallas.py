@@ -206,3 +206,60 @@ def test_max_fused_n_derivation():
             + _DELTA_BUFS * n_delta * 256 * 4) <= _VMEM_BUDGET
     # ...and the tile picker still returns a legal lane-multiple tile.
     assert _tile_t(n_delta, 10**6) >= 256
+
+
+@pytest.mark.parametrize("density", [Tanh(), Exp(), Cube()])
+def test_rotated_fused_plain_mode_match_dense(density):
+    """absolute_ll=True: the plain cheap-tier accept path returns the
+    candidate's ABSOLUTE log-lik / Y^2 row sums and the same moments."""
+    from picard_ica_tpu.ops.pallas_kernels import rotated_fused_sums
+
+    n, t = 4, 700  # partial last tile exercises the ll masking
+    rng = np.random.default_rng(8)
+    m_old = jnp.asarray(np.eye(n) + 0.1 * rng.standard_normal((n, n)))
+    m_new = jnp.asarray(np.asarray(m_old) + 0.05 * rng.standard_normal((n, n)))
+    x = jnp.asarray(rng.standard_normal((n, t)))
+
+    ll, ysq_abs, g, pm, h, ysq = rotated_fused_sums(
+        m_new, m_old, x, density, True, True, interpret=True,
+        absolute_ll=True,
+    )
+
+    y_new = np.asarray(m_new) @ np.asarray(x)
+    ll_ref = np.asarray(density.log_lik(jnp.asarray(y_new)))
+    psi, psi_d = (np.asarray(v) for v in density.score_and_der(jnp.asarray(y_new)))
+
+    np.testing.assert_allclose(np.asarray(ll), ll_ref.sum(axis=1), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ysq_abs), (y_new**2).sum(axis=1), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(g), psi @ y_new.T, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(pm), psi_d.sum(axis=1), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(h), psi_d @ (y_new * y_new).T, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ysq), (y_new**2).sum(axis=1), rtol=1e-9, atol=1e-9)
+
+
+def test_core_plain_ls_matches_delta_fixed_point():
+    """A core run whose line search uses the plain accept converges to
+    the same separation as the delta-form run (the two accept tests
+    order the same candidates whenever the loss resolution suffices)."""
+    import dataclasses
+
+    from picard_ica_tpu.models.core import CoreOptions, run_core_jit
+    from picard_ica_tpu.utils import amari_distance, generate_test_data
+    from picard_ica_tpu.ops.whitening import center, whiten
+
+    _, a, x = generate_test_data(4, 6000, seed=12)
+    xc, _ = center(jnp.asarray(x))
+    xw = whiten(xc, 4).data
+    cov = jnp.eye(4, dtype=xw.dtype)
+
+    base = CoreOptions(density=Tanh(), ortho=True, extended=True, has_cov=True,
+                       m=7, ls_tries=10, use_pallas=True)
+    r_delta = run_core_jit(xw, cov, 1e-6, 0.01, 200, base)
+    r_plain = run_core_jit(
+        xw, cov, 1e-6, 0.01, 200, dataclasses.replace(base, plain_ls=True)
+    )
+    assert bool(r_delta.converged) and bool(r_plain.converged)
+    am = amari_distance(
+        np.asarray(r_plain.w), np.linalg.inv(np.asarray(r_delta.w))
+    )
+    assert am < 1e-6, am
