@@ -158,6 +158,12 @@ def _mask_cols(i, bt, t, shape):
     return (i * bt + col) < t
 
 
+def _acc_dtype(x):
+    """Accumulation dtype: bf16 inputs (the cheap tier's halved-HBM X
+    copy) still accumulate and reduce in f32."""
+    return jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
+
+
 def _reduce_partials(partials, dtype):
     """Sum (n_tiles, ...) tile partials without losing the tile-level
     accuracy.
@@ -194,7 +200,11 @@ def _rotated_moments_kernel(
     if t % bt != 0:
         x_t = jnp.where(_mask_cols(i, bt, t, x_t.shape), x_t, 0.0)
 
-    y = jnp.dot(w_ref[...], x_t, preferred_element_type=acc, precision=_HI)
+    # bf16 inputs (the cheap tier's X copy) take the native single-pass
+    # matmul — Mosaic rejects HIGHEST on bf16 operands, and a 6-pass
+    # split of bf16 would be meaningless anyway.
+    prec = None if x_t.dtype == jnp.bfloat16 else _HI
+    y = jnp.dot(w_ref[...], x_t, preferred_element_type=acc, precision=prec)
     psi, psi_d = density.score_and_der(y)
     if t % bt != 0:
         # psi(0) == 0 for all densities, but psi'(0) != 0 — mask it.
@@ -233,7 +243,7 @@ def rotated_moments_sums(
     n, t = x.shape
     bt = _tile_t(n, t)
     n_tiles = pl.cdiv(t, bt)
-    dtype = x.dtype
+    dtype = _acc_dtype(x)
 
     kernel = functools.partial(
         _rotated_moments_kernel,
@@ -273,7 +283,7 @@ def rotated_moments_sums(
             jax.ShapeDtypeStruct((n_tiles, ysq_dim, 1), dtype),
         ],
         interpret=interpret,
-    )(w.astype(dtype), x)
+    )(w.astype(x.dtype), x)
 
     return (
         _reduce_partials(g, dtype),
@@ -339,7 +349,8 @@ def _rotated_loglik_kernel(
     if t % bt != 0:
         x_t = jnp.where(_mask_cols(i, bt, t, x_t.shape), x_t, 0.0)
 
-    y = jnp.dot(m_ref[...], x_t, preferred_element_type=acc, precision=_HI)
+    prec = None if x_t.dtype == jnp.bfloat16 else _HI
+    y = jnp.dot(m_ref[...], x_t, preferred_element_type=acc, precision=prec)
     ll = density.log_lik(y)
     if t % bt != 0:
         # log_lik(0) != 0 (e.g. tanh: log(2)/alpha) — mask the padding.
@@ -365,7 +376,7 @@ def rotated_loglik_sums(
     n, t = x.shape
     bt = _tile_t(n, t)
     n_tiles = pl.cdiv(t, bt)
-    dtype = x.dtype
+    dtype = _acc_dtype(x)
 
     kernel = functools.partial(
         _rotated_loglik_kernel, density=density, need_ysq=need_ysq, t=t, bt=bt,
@@ -388,7 +399,7 @@ def rotated_loglik_sums(
             jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
         ],
         interpret=interpret,
-    )(m.astype(dtype), x)
+    )(m.astype(x.dtype), x)
     return _reduce_partials(ll, dtype)[:, 0], _reduce_partials(ysq, dtype)[:, 0]
 
 
@@ -505,7 +516,7 @@ def rotated_fused_sums(
     else:
         bt = _tile_t(n, t)
     n_tiles = pl.cdiv(t, bt)
-    dtype = x.dtype
+    dtype = _acc_dtype(x)
 
     kernel = functools.partial(
         _rotated_fused_kernel, density=density, need_h=need_h,
@@ -549,7 +560,7 @@ def rotated_fused_sums(
             jax.ShapeDtypeStruct((n_tiles, ysq_dim, 1), dtype),
         ],
         interpret=interpret,
-    )(m_new.astype(dtype), m_old.astype(dtype), x)
+    )(m_new.astype(x.dtype), m_old.astype(x.dtype), x)
 
     return (
         _reduce_partials(dll, dtype)[:, 0],

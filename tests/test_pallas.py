@@ -263,3 +263,30 @@ def test_core_plain_ls_matches_delta_fixed_point():
         np.asarray(r_plain.w), np.linalg.inv(np.asarray(r_delta.w))
     )
     assert am < 1e-6, am
+
+
+def test_fused_kernel_accepts_bf16_x():
+    """bf16 X copy (the cheap tier's halved-HBM read): outputs stay
+    f32 and match the f32-input run to bf16 rounding."""
+    from picard_ica_tpu.ops.pallas_kernels import rotated_fused_sums
+
+    n, t = 4, 512
+    rng = np.random.default_rng(9)
+    m_old = jnp.asarray(np.eye(n, dtype=np.float32))
+    m_new = jnp.asarray(
+        np.eye(n, dtype=np.float32) + 0.05 * rng.standard_normal((n, n)).astype(np.float32)
+    )
+    x32 = jnp.asarray(rng.standard_normal((n, t)).astype(np.float32))
+    x16 = x32.astype(jnp.bfloat16)
+
+    out32 = rotated_fused_sums(m_new, m_old, x32, Tanh(), False, False,
+                               interpret=True, precision="bf16",
+                               absolute_ll=True)
+    out16 = rotated_fused_sums(m_new, m_old, x16, Tanh(), False, False,
+                               interpret=True, precision="bf16",
+                               absolute_ll=True)
+    for a, b in zip(out32, out16):
+        assert b.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2
+        )
