@@ -180,13 +180,19 @@ def _covariance(x) -> jnp.ndarray:
     # accumulation error by sqrt(n_devices)).
     if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1:
         return jnp.dot(x, x.T, precision=_HI)
-    if jax.default_backend() == "tpu" and x.shape[0] <= 512:
-        # Pallas tile partials + tree fold: same accuracy design,
-        # compiles in seconds (the XLA chunked forms take minutes on
-        # this environment's remote compiler).
-        from .pallas_kernels import covariance_sums
+    if jax.default_backend() == "tpu":
+        if x.shape[0] <= 512:
+            # Pallas tile partials + tree fold: same accuracy design,
+            # compiles in seconds (the XLA chunked forms take minutes
+            # on this environment's remote compiler).
+            from .pallas_kernels import covariance_sums
 
-        return covariance_sums(x)
+            return covariance_sums(x)
+        # Beyond the Pallas VMEM limit: the chunked XLA scan compiles
+        # pathologically slowly on TPU, so accept the single-dot
+        # accumulation error there (large-N fits run the XLA core path
+        # whose tolerance targets are far above it anyway).
+        return jnp.dot(x, x.T, precision=_HI)
     return _covariance_chunked(x)
 
 
