@@ -1109,8 +1109,11 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
         # reductions/scalars stay f32 (_work_dtype); the accept
         # baseline is self-consistent because every loss evaluation
         # inside the stage uses the same copy.
+        # N >= 16 only: bf16 Mosaic tiles are (16, 128) sublanes and
+        # smaller row counts hit an unimplemented sublane broadcast.
         if (stage_opts.plain_ls and precision == "bf16"
-                and x.dtype == jnp.float32 and opts.use_pallas):
+                and x.dtype == jnp.float32 and opts.use_pallas
+                and x.shape[0] >= 16):
             x_stage = x.astype(jnp.bfloat16)
         else:
             x_stage = x
