@@ -24,8 +24,13 @@ Data: the reference harness's LCG Laplace generator (bit-identical
 stream via the native C++ module) so timings are measured on the same
 mixtures the Rust criterion benches use.
 
+A sixth group, ``oracle_conformance``, measures the BASELINE accuracy
+target where it is meaningful (T >= 100k; see group docstring).
+
 Usage:
     python benchmarks/suite.py [--quick] [--cpu] [--json OUT.json]
+                               [--group {criterion,n_components,ortho,
+                                         extended,baseline,conformance}]
 """
 
 from __future__ import annotations
