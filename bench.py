@@ -1,6 +1,6 @@
 """Benchmark: grad-loop throughput of the Picard core loop on TPU.
 
-Prints exactly one JSON line:
+Prints exactly one JSON line on stdout:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Methodology: generate the reference benchmark harness's LCG Laplace
@@ -16,28 +16,87 @@ The reference publishes no absolute numbers (BASELINE.md), so
 same per-iteration data-axis work measured in the same run — a
 stand-in for the reference's BLAS-backed CPU hot loop.
 
-Config: Picard-O + extended + tanh at N=64, T=1M (BASELINE.json
+Cold-start design (the reference harness is cold-runnable,
+benches/benchmarks.rs:130-141; this must be too):
+  * A persistent XLA compilation cache lives at ``.jax_cache/`` in the
+    repo (committed, warmed for the bench shapes) — the axon remote
+    compiler honors it, turning the ~2-4 min cold compile of the
+    whitening + fused core into sub-second cache reads.
+  * The generated mixture is cached at ``.bench_cache/`` keyed by
+    (n, t, seed) — regeneration costs ~30-100 s of single-core LCG.
+  * Every phase prints a timed progress line to stderr so a timed-out
+    run leaves forensics.
+
+Config: Picard-O + extended + tanh at N=64, T=4M (BASELINE.json
 configs 2/3 scale).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
 N_COMPONENTS = 64
 # 4M samples: enough to amortize this environment's fixed per-launch
 # dispatch overhead (~35 ms through the TPU tunnel) so the number
 # reflects steady-state device throughput; converges to tol=1e-7 in
-# ~18 iterations (verified up to T=10M: 46 iters, gnorm 2.6e-8).
+# ~36 iterations (verified up to T=10M: 46 iters, gnorm 2.6e-8).
 N_SAMPLES = 4_000_000
 TOL = 1e-7  # the reference tolerance: achievable in f32 thanks to the
 # delta-based line search + per-tile partials with tree reduction
 MAX_ITER = 100
 REPS = 3
+
+_T0 = time.time()
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _enable_compilation_cache() -> None:
+    """Point JAX at the repo's committed compilation cache.
+
+    The axon remote-compile helper honors the standard persistent
+    cache (measured: fresh-process compile of a cached executable
+    drops from minutes to <1 s). Failures are non-fatal — the bench
+    still runs, just slower."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as e:  # pragma: no cover - config names are stable
+        _log(f"compilation cache unavailable: {e}")
+
+
+def _bench_mixture() -> np.ndarray:
+    """The benchmark mixture as f32, cached on disk keyed by shape+seed."""
+    cache_dir = os.path.join(_REPO, ".bench_cache")
+    path = os.path.join(cache_dir, f"mix_{N_COMPONENTS}x{N_SAMPLES}_s42.f32.npy")
+    if os.path.exists(path):
+        _log(f"datagen: loading cached mixture {path}")
+        return np.load(path)
+    from picard_ica_tpu.utils.datagen import generate_bench_data
+
+    _log(f"datagen: generating {N_COMPONENTS}x{N_SAMPLES} LCG Laplace mixture")
+    x = generate_bench_data(N_COMPONENTS, N_SAMPLES, seed=42).astype(np.float32)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.save(f, x)
+        os.replace(tmp, path)
+    except OSError as e:
+        _log(f"datagen: cache write failed ({e}); continuing uncached")
+    return x
 
 
 def _tpu_samples_per_sec() -> tuple:
@@ -46,12 +105,14 @@ def _tpu_samples_per_sec() -> tuple:
 
     from picard_ica_tpu.models.core import CoreOptions, run_core_jit
     from picard_ica_tpu.ops.densities import Tanh
-    from picard_ica_tpu.ops.whitening import center, whiten
-    from picard_ica_tpu.utils.datagen import generate_bench_data
+    from picard_ica_tpu.ops.whitening import center_whiten
 
-    x = generate_bench_data(N_COMPONENTS, N_SAMPLES, seed=42).astype(np.float32)
-    xc, _ = center(jnp.asarray(x))
-    xw = whiten(xc, N_COMPONENTS).data
+    x = _bench_mixture()
+    _log(f"devices: {jax.devices()}")
+    t0 = time.time()
+    xw, _, _ = center_whiten(jnp.asarray(x), N_COMPONENTS)
+    np.asarray(xw[:1, :1])  # real sync (block_until_ready returns early here)
+    _log(f"center+whiten done in {time.time() - t0:.1f}s")
 
     opts = CoreOptions(
         density=Tanh(), ortho=True, extended=True, has_cov=True, m=7, ls_tries=10,
@@ -62,8 +123,11 @@ def _tpu_samples_per_sec() -> tuple:
     def run():
         return run_core_jit(xw, cov, TOL, 0.01, MAX_ITER, opts)
 
+    t0 = time.time()
     result = run()
     jax.block_until_ready(result)  # compile + warm
+    _log(f"core compile+warm run done in {time.time() - t0:.1f}s "
+         f"({int(result.n_iterations)} iters)")
     if not bool(result.converged):
         print(
             f"warning: did not reach tol={TOL} "
@@ -71,15 +135,18 @@ def _tpu_samples_per_sec() -> tuple:
             file=sys.stderr,
         )
 
-    best = 0.0
-    for _ in range(REPS):
+    best_sps, best_iters = 0.0, 0
+    for rep in range(REPS):
         t0 = time.perf_counter()
         result = run()
         jax.block_until_ready(result)
         elapsed = time.perf_counter() - t0
         iters = int(result.n_iterations)
-        best = max(best, N_SAMPLES * iters / elapsed)
-    return best, iters
+        sps = N_SAMPLES * iters / elapsed
+        _log(f"rep {rep}: {sps:.3e} samples/s ({iters} iters, {elapsed:.2f}s)")
+        if sps > best_sps:
+            best_sps, best_iters = sps, iters
+    return best_sps, best_iters
 
 
 def _cpu_numpy_samples_per_sec() -> float:
@@ -112,12 +179,14 @@ def _cpu_numpy_samples_per_sec() -> float:
 
 
 def main():
+    _log("enabling persistent compilation cache")
+    _enable_compilation_cache()
     tpu_sps, iters = _tpu_samples_per_sec()
+    _log("running NumPy f64 CPU baseline")
     cpu_sps = _cpu_numpy_samples_per_sec()
-    print(
+    _log(
         f"tpu: {tpu_sps:.3e} samples/s/chip ({iters} iters to tol={TOL}) | "
-        f"numpy-f64 cpu: {cpu_sps:.3e} samples/s",
-        file=sys.stderr,
+        f"numpy-f64 cpu: {cpu_sps:.3e} samples/s"
     )
     print(
         json.dumps(

@@ -253,14 +253,17 @@ def _shard_mapped(local_fn, sharding, x, *replicated, critical_first=False):
             # backend pipelines strip opt-barriers before the
             # all-reduce combiner runs): gate the moment psums on the
             # accept payload having arrived. ``gate`` is exactly 0.0
-            # whenever the accept payload is finite (and a poisoned
-            # payload already poisons the accept test itself), so
-            # values are unchanged — but its dependence on ``head``
-            # would make merging the two collectives a cycle, which no
-            # combiner pass can form.
-            gate = jnp.where(
-                jnp.isfinite(head[0].ravel()[0]), 0.0, jnp.nan
-            ).astype(outs[nc].dtype)
+            # unless the payload is NaN (a NaN payload already poisons
+            # the accept test itself), so values are unchanged — but
+            # its dependence on ``head`` would make merging the two
+            # collectives a cycle, which no combiner pass can form.
+            # Gate on NaN only, NOT inf: an overflowed (inf-dll)
+            # rejected candidate still carries usable last-tried
+            # moments that the GD fallback path must not see poisoned.
+            h0 = head[0].ravel()[0]
+            gate = jnp.where(jnp.isnan(h0), jnp.nan, 0.0).astype(
+                outs[nc].dtype
+            )
             return head + tuple(lax.psum(o + gate, axis) for o in outs[nc:])
         return tuple(lax.psum(o, axis) for o in outs)
 

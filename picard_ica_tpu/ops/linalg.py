@@ -132,8 +132,12 @@ def matrix_exp(a):
     return jnp.where(is_zero, eye, result)
 
 
-# Max squarings attributable to the direction norm in the shared
-# line-search chain (norms beyond 2^16 never reach a line search).
+# Squarings attributable to the direction norm that the STATIC chain
+# covers (norms beyond 2^16 essentially never reach a line search);
+# larger norms are handled by a dynamic pre-squaring tail up to the
+# same 64-squaring bound as matrix_exp, so the chain is accurate for
+# any representable direction, like the reference's per-try expm
+# (math.rs:48 derives s with no cap).
 _CHAIN_MAX_S = 16
 
 
@@ -167,11 +171,18 @@ def expm_pow2_chain(d, n_alphas: int):
     dtype = d.dtype
     tiny = 1e-300 if dtype == jnp.float64 else 1e-38
     norm = jnp.max(jnp.abs(d))
-    s1 = jnp.clip(
-        jnp.ceil(jnp.log2(jnp.maximum(norm, tiny))), 0, _CHAIN_MAX_S
+    s_full = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(norm, tiny))), 0, _EXPM_MAX_SQUARINGS
     ).astype(jnp.int32)
+    s1 = jnp.minimum(s_full, _CHAIN_MAX_S)
+    # Norm bits beyond the static chain: absorbed by extra scaling of
+    # the Taylor input + the SAME number of dynamic pre-squarings of
+    # the base, so chain[m] = taylor(d/2^(j+e))^(2^(m+e)) still equals
+    # base^(2^m) with base = expm(d/2^j)-quality. Zero iterations in
+    # the (overwhelmingly common) norm <= 2^16 case.
+    extra = s_full - s1
     j = s1 + (n_alphas - 1)
-    scale = jnp.exp2(j.astype(dtype))
+    scale = jnp.exp2((j + extra).astype(dtype))
     a = d / scale
 
     n = d.shape[0]
@@ -180,6 +191,12 @@ def expm_pow2_chain(d, n_alphas: int):
     for k in range(1, 7):
         term = jnp.dot(term, a, precision=_HI_PREC) / dtype.type(k)
         base = base + term
+
+    base = lax.while_loop(
+        lambda c: c[0] < extra,
+        lambda c: (c[0] + 1, jnp.dot(c[1], c[1], precision=_HI_PREC)),
+        (jnp.asarray(0, jnp.int32), base),
+    )[1]
 
     mats = [base]
     for _ in range(_CHAIN_MAX_S + n_alphas - 1):

@@ -295,9 +295,61 @@ def rotated_moments_sums(
     )
 
 
+def _row_sums_kernel(x_ref, out_ref, *, t, bt):
+    i = pl.program_id(0)
+    x_t = x_ref[...]
+    if t % bt != 0:
+        x_t = jnp.where(_mask_cols(i, bt, t, x_t.shape), x_t, 0.0)
+    out_ref[0] = jnp.sum(x_t, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def row_sums(x, interpret: bool = False):
+    """Unnormalized per-row sums (the mean's numerator) via per-tile
+    partials + tree fold — error ~eps*log2(n_tiles) like
+    :func:`covariance_sums`, but crucially it COMPILES in seconds on
+    this environment's remote TPU compiler, where the equivalent XLA
+    pad/reshape/reduce chunk pipeline does not finish in 580 s.
+    (whitening.rs:24-35 is the reference semantics.)
+    """
+    n, t = x.shape
+    # No resident weight blocks and only ~3 live (N, bt) buffers.
+    bt = _tile_t(n, t, n_bufs=4, n_weights=0)
+    n_tiles = pl.cdiv(t, bt)
+    dtype = x.dtype
+
+    kernel = functools.partial(_row_sums_kernel, t=t, bt=bt)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
+        interpret=interpret,
+    )(x)
+    return _reduce_partials(out, dtype)[:, 0]
+
+
 def _covariance_kernel(x_ref, out_ref, *, t, bt, acc):
     i = pl.program_id(0)
     x_t = x_ref[...]
+    if t % bt != 0:
+        x_t = jnp.where(_mask_cols(i, bt, t, x_t.shape), x_t, 0.0)
+    out_ref[0] = jax.lax.dot_general(
+        x_t, x_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=acc, precision=_HI,
+    )
+
+
+def _centered_covariance_kernel(mean_ref, x_ref, out_ref, *, t, bt, acc):
+    i = pl.program_id(0)
+    # Subtract the per-row mean BEFORE masking: padding lanes must
+    # contribute exactly 0 to the partial, not (-mean)^2.
+    x_t = x_ref[...] - mean_ref[...]
     if t % bt != 0:
         x_t = jnp.where(_mask_cols(i, bt, t, x_t.shape), x_t, 0.0)
     out_ref[0] = jax.lax.dot_general(
@@ -337,6 +389,37 @@ def covariance_sums(x, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((n_tiles, n, n), dtype),
         interpret=interpret,
     )(x)
+    return _reduce_partials(out, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def centered_covariance_sums(x, mean, interpret: bool = False):
+    """Unnormalized ``(X - mean)(X - mean)^T`` in ONE read of X.
+
+    Same accuracy design as :func:`covariance_sums`; the centering is
+    folded into the tile load so the centered copy of X is never
+    materialized in HBM (the separate center -> covariance pipeline
+    costs an extra N x T write + read).
+    """
+    n, t = x.shape
+    bt = _tile_t(n, t)
+    n_tiles = pl.cdiv(t, bt)
+    dtype = x.dtype
+
+    kernel = functools.partial(_centered_covariance_kernel, t=t, bt=bt, acc=dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n, n), dtype),
+        interpret=interpret,
+    )(mean.astype(dtype).reshape(n, 1), x)
     return _reduce_partials(out, dtype)
 
 
@@ -523,6 +606,15 @@ def rotated_fused_sums(
         need_ysq=need_ysq, t=t, bt=bt, acc=dtype, precision=precision,
         absolute_ll=absolute_ll,
     )
+    if absolute_ll:
+        # The plain kernel never reads m_old — don't make Mosaic keep a
+        # second (N, N) weight block resident (this is what makes the
+        # _PLAIN_WEIGHTS=1 tile model true, and what buys the plain
+        # kernel its higher max_fused_n).
+        inner = kernel
+
+        def kernel(m_new_ref, x_ref, *out_refs):
+            inner(m_new_ref, None, x_ref, *out_refs)
 
     # Unused outputs shrink to (1, 1) dummies: a full (n_tiles, N, N)
     # zero H-partial costs ~585 MB of HBM at N=256/T=2M per live call
@@ -535,14 +627,19 @@ def rotated_fused_sums(
             (1, rows, cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
 
+    w_spec = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [w_spec] * (1 if absolute_ll else 2) + [
+        pl.BlockSpec((n, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    operands = (
+        (m_new.astype(x.dtype), x)
+        if absolute_ll
+        else (m_new.astype(x.dtype), m_old.astype(x.dtype), x)
+    )
     dll, dysq, g, pm, h, ysq = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             spec(n, 1),
             spec(ysq_dim, 1),
@@ -560,7 +657,7 @@ def rotated_fused_sums(
             jax.ShapeDtypeStruct((n_tiles, ysq_dim, 1), dtype),
         ],
         interpret=interpret,
-    )(m_new.astype(x.dtype), m_old.astype(x.dtype), x)
+    )(*operands)
 
     return (
         _reduce_partials(dll, dtype)[:, 0],

@@ -34,6 +34,7 @@ in a different stationary point. Two mitigations:
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -75,24 +76,69 @@ def _chunk_len(t: int) -> int:
     return max(512, min(8192, t // 512))
 
 
-def center(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Subtract the per-row (per-feature) mean (whitening.rs:24-35).
-
-    f32 inputs use chunked sums + a pairwise fold (error ~eps*log(T/bt)
-    instead of ~eps*sqrt(T) — the mean feeds the covariance, whose
-    eigenvectors amplify input noise by 1/eigengap).
-    """
-    x = jnp.asarray(x)
+def _chunked_mean(x) -> jnp.ndarray:
+    """Per-row mean with chunked sums + a pairwise fold (error
+    ~eps*log(T/bt) instead of ~eps*sqrt(T) — the mean feeds the
+    covariance, whose eigenvectors amplify input noise by 1/eigengap).
+    Traceable: safe to call inside jit."""
     n, t = x.shape
     if x.dtype == jnp.float64 or t <= 2048:
-        mean = jnp.mean(x, axis=1)
-        return x - mean[:, None], mean
+        return jnp.mean(x, axis=1)
     bt = _chunk_len(t)
     pad = (-t) % bt
     xp = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
     partial = jnp.sum(xp.reshape(n, -1, bt), axis=2)  # (n, n_chunks)
-    mean = _fold_pairwise(partial.T) / t
+    return _fold_pairwise(partial.T) / t
+
+
+def _mean_impl_for(x) -> str:
+    """Pick the mean implementation (eager decision; the
+    implementations are traceable).
+
+    * f64 / tiny T / mesh-sharded: plain ``jnp.mean`` (exact enough at
+      f64; under GSPMD each shard reduces only T/n_devices + psum).
+    * TPU: Pallas row-sums tile partials + tree fold — same accuracy
+      as the chunked form, but it actually compiles: the XLA
+      pad/reshape/reduce pipeline does not finish in 580 s on this
+      environment's remote TPU compiler (measured round 3).
+    * CPU: the XLA chunked form.
+    """
+    n, t = x.shape
+    if x.dtype == jnp.float64 or t <= 2048:
+        return "plain"
+    if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1:
+        return "plain"
+    if jax.default_backend() == "tpu":
+        return "pallas"
+    return "chunked"
+
+
+def _mean_impl(x, impl: str) -> jnp.ndarray:
+    """Traceable per-row-mean dispatch (see :func:`_mean_impl_for`)."""
+    if impl == "pallas":
+        from .pallas_kernels import row_sums
+
+        return row_sums(x) / x.shape[1]
+    if impl == "chunked":
+        return _chunked_mean(x)
+    return jnp.mean(x, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("mean_impl",))
+def _center_jit(x, mean_impl: str):
+    mean = _mean_impl(x, mean_impl)
     return x - mean[:, None], mean
+
+
+def center(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Subtract the per-row (per-feature) mean (whitening.rs:24-35).
+
+    One jitted executable: on this environment every *eager* op costs a
+    separate executable load through the TPU tunnel (seconds each, high
+    variance), so the chunk/fold pipeline must not dispatch eagerly.
+    """
+    x = jnp.asarray(x)
+    return _center_jit(x, _mean_impl_for(x))
 
 
 # Exactly-rank-deficient data leaves the f64 eigh's smallest
@@ -162,6 +208,44 @@ def _covariance_chunked(x) -> jnp.ndarray:
     return _fold_pairwise(partials)
 
 
+def _cov_impl_for(x) -> str:
+    """Pick the covariance implementation for ``x`` (eager decision;
+    the implementations themselves are traceable).
+
+    * f64 / tiny T: a single HIGHEST dot is exact enough.
+    * mesh-sharded: the sequential chunk scan would serialize across
+      devices; the single GSPMD dot already accumulates only
+      T/n_devices per shard + psum, dividing the error by
+      sqrt(n_devices).
+    * TPU, N <= 512: Pallas tile partials + tree fold — same accuracy
+      design, compiles in seconds (the XLA chunked forms take minutes
+      on this environment's remote compiler).
+    * TPU, N > 512: beyond the Pallas VMEM limit the chunked XLA scan
+      compiles pathologically slowly, so accept the single-dot
+      ~sqrt(T)*eps accumulation (surfaced via an AccuracyWarning at
+      the call site).
+    """
+    n, t = x.shape
+    if x.dtype == jnp.float64 or t <= 2048:
+        return "dot"
+    if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1:
+        return "dot"
+    if jax.default_backend() == "tpu":
+        return "pallas" if n <= 512 else "dot"
+    return "chunked"
+
+
+def _covariance_impl(x, impl: str):
+    """Traceable covariance dispatch (see :func:`_cov_impl_for`)."""
+    if impl == "pallas":
+        from .pallas_kernels import covariance_sums
+
+        return covariance_sums(x)
+    if impl == "chunked":
+        return _covariance_chunked(x)
+    return jnp.dot(x, x.T, precision=_HI)
+
+
 def _covariance(x) -> jnp.ndarray:
     """``X X^T`` (unnormalized) with chunked f32 accumulation.
 
@@ -171,29 +255,33 @@ def _covariance(x) -> jnp.ndarray:
     Sharded-friendly: the chunked scan is still one local pass over
     X (+ psum under SPMD). f64 inputs take the plain dot.
     """
-    t = x.shape[1]
-    if x.dtype == jnp.float64 or t <= 2048:
-        return jnp.dot(x, x.T, precision=_HI)
-    # Mesh-sharded input: the sequential chunk scan would serialize
-    # across devices; keep the single GSPMD dot (each shard already
-    # accumulates only T/n_devices samples + psum, which divides the
-    # accumulation error by sqrt(n_devices)).
-    if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1:
-        return jnp.dot(x, x.T, precision=_HI)
-    if jax.default_backend() == "tpu":
-        if x.shape[0] <= 512:
-            # Pallas tile partials + tree fold: same accuracy design,
-            # compiles in seconds (the XLA chunked forms take minutes
-            # on this environment's remote compiler).
-            from .pallas_kernels import covariance_sums
+    return _covariance_impl(x, _cov_impl_for(x))
 
-            return covariance_sums(x)
-        # Beyond the Pallas VMEM limit: the chunked XLA scan compiles
-        # pathologically slowly on TPU, so accept the single-dot
-        # accumulation error there (large-N fits run the XLA core path
-        # whose tolerance targets are far above it anyway).
-        return jnp.dot(x, x.T, precision=_HI)
-    return _covariance_chunked(x)
+
+def _warn_if_lossy_cov(x, impl: str) -> None:
+    """Surface the TPU large-N accuracy fallback (a single f32 dot
+    accumulates ~sqrt(T)*eps; eigengaps amplify that into K)."""
+    n, t = x.shape
+    if (
+        impl == "dot"
+        and x.dtype == jnp.float32
+        and t > 2048
+        and n > 512
+        and jax.default_backend() == "tpu"
+    ):
+        import warnings
+
+        from ..errors import AccuracyWarning
+
+        warnings.warn(
+            f"TPU covariance for n_features={n} > 512 exceeds the chunked "
+            f"Pallas kernel's VMEM limit and falls back to a single f32 "
+            f"accumulation (~{np.sqrt(t) * 1.2e-7:.1e} relative error at "
+            f"T={t}); whitening eigenvectors amplify this by 1/eigengap. "
+            f"For full accuracy pass f64 host data (whiten_precision='f64').",
+            AccuracyWarning,
+            stacklevel=3,
+        )
 
 
 def whiten(x, n_components: int) -> WhiteningResult:
@@ -208,7 +296,9 @@ def whiten(x, n_components: int) -> WhiteningResult:
             f"n_components ({n_components}) cannot exceed n_features ({n_features})"
         )
 
-    cov = _covariance(x)
+    impl = _cov_impl_for(x)
+    _warn_if_lossy_cov(x, impl)
+    cov = _covariance_impl(x, impl)
     k, min_sv = whitening_matrix_from_covariance(cov, n_samples, n_components)
     if k is None or min_sv < _MIN_SINGULAR_VALUE:
         raise SingularMatrixError()
@@ -218,6 +308,76 @@ def whiten(x, n_components: int) -> WhiteningResult:
         data=jnp.dot(k, x, precision=_HI),
         whitening_matrix=k,
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cov_impl", "mean_impl", "centering")
+)
+def _prepare_stats(x, cov_impl: str, mean_impl: str, centering: bool):
+    """Mean of ``x`` + covariance of the centered data, ONE executable.
+
+    Fusing matters operationally, not just for speed: on this
+    environment each eager op dispatch is a separate executable load
+    through the TPU tunnel costing seconds with high variance, so the
+    eager center -> covariance pipeline (~40 tiny ops from the unrolled
+    pairwise fold) costs minutes cold while this single call costs
+    ~1 s. Math is identical to :func:`center` + :func:`_covariance`
+    (the Pallas centered-covariance kernel subtracts the mean in the
+    tile load, so the centered N x T copy is never materialized).
+    """
+    if not centering:
+        return None, _covariance_impl(x, cov_impl)
+    mean = _mean_impl(x, mean_impl)
+    if cov_impl == "pallas":
+        from .pallas_kernels import centered_covariance_sums
+
+        return mean, centered_covariance_sums(x, mean)
+    return mean, _covariance_impl(x - mean[:, None], cov_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("centering",))
+def _project_centered(k, x, mean, centering: bool):
+    if centering:
+        x = x - mean[:, None]
+    return jnp.dot(k, x, precision=_HI)
+
+
+def center_whiten(
+    x,
+    n_components: int,
+    centering: bool = True,
+    whiten_flag: bool = True,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+    """Fused device-path center + whiten: ``(x1, mean, K)``.
+
+    Semantically identical to :func:`center` followed by :func:`whiten`
+    (same chunked-accuracy design, sign convention and rank test) but
+    structured as exactly two device executables (stats; projection)
+    around the host-f64 eigendecomposition — the launch-count-minimal
+    shape this environment's per-executable tunnel latency demands.
+    """
+    x = jnp.asarray(x)
+    if not whiten_flag:
+        if centering:
+            x1, mean = _center_jit(x, _mean_impl_for(x))
+            return x1, mean, None
+        return x, None, None
+    n_features, n_samples = x.shape
+    if n_components > n_features:
+        raise InvalidDimensionsError(
+            f"n_components ({n_components}) cannot exceed n_features ({n_features})"
+        )
+    impl = _cov_impl_for(x)
+    _warn_if_lossy_cov(x, impl)
+    mean, cov = _prepare_stats(x, impl, _mean_impl_for(x), centering)
+    k, min_sv = whitening_matrix_from_covariance(
+        np.asarray(cov), n_samples, n_components
+    )
+    if k is None or min_sv < _MIN_SINGULAR_VALUE:
+        raise SingularMatrixError()
+    kd = jnp.asarray(k, x.dtype)
+    x1 = _project_centered(kd, x, mean, centering)
+    return x1, mean, kd
 
 
 # Above this many elements the one-time host f64 pass (O(N^2 T) BLAS +

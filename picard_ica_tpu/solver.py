@@ -31,7 +31,7 @@ from .models.fastica import ica_par_jit
 from .models.jade import jade_jit
 from .ops.densities import Tanh
 from .ops.linalg import _SYM_DECORR_MIN_EIG, sym_decorrelation_with_mineig
-from .ops.whitening import _HOST_F64_MAX_ELEMENTS, center, preprocess_f64, whiten
+from .ops.whitening import _HOST_F64_MAX_ELEMENTS, center_whiten, preprocess_f64
 from .results import PicardResult
 
 try:  # jax >= 0.4 namespace
@@ -142,25 +142,23 @@ class Picard:
             x1_64, mean_64, k_64 = preprocess_f64(
                 x, n_components, config.centering, config.whiten
             )
-            x1 = jnp.asarray(x1_64.astype(np.float32))
+            # Cast to the RESOLVED core dtype: an explicit
+            # whiten_precision='f64' fit with an f64 core must not be
+            # silently downgraded to f32 (the 'auto' path always
+            # resolves to f32 so this is an identity cast there).
+            x1 = jnp.asarray(x1_64.astype(np.dtype(dtype)))
             if sharding is not None:
                 x1 = jax.device_put(x1, sharding)
             x_mean = None if mean_64 is None else jnp.asarray(mean_64, dtype)
             k_matrix = None if k_64 is None else jnp.asarray(k_64, dtype)
         else:
-            # Center (solver.rs:77-82).
-            if config.centering:
-                x1, x_mean = center(x)
-            else:
-                x1, x_mean = x, None
-
-            # Whiten (solver.rs:85-93).
-            if config.whiten:
-                whitening_result = whiten(x1, n_components)
-                x1 = whitening_result.data
-                k_matrix = whitening_result.whitening_matrix
-            else:
-                k_matrix = None
+            # Center (solver.rs:77-82) + whiten (solver.rs:85-93), fused
+            # into two device executables (ops/whitening.center_whiten —
+            # eager per-op dispatch costs seconds each on this
+            # environment's tunnel).
+            x1, x_mean, k_matrix = center_whiten(
+                x, n_components, config.centering, config.whiten
+            )
 
             if sharding is not None:
                 x1 = jax.lax.with_sharding_constraint(x1, sharding)

@@ -79,3 +79,53 @@ def test_skew_symmetric():
     s = np.asarray(skew_symmetric(jnp.asarray([[1.0, 2.0], [3.0, 4.0]])))
     np.testing.assert_allclose(s, -s.T, atol=1e-15)
     assert s[0, 1] == pytest.approx(-0.5)
+
+
+@pytest.mark.parametrize("scale", [1e-3, 1.0, 100.0])
+def test_expm_chain_matches_per_alpha_expm(scale):
+    """chain[j-k] == expm(2^-k d) for every line-search alpha."""
+    from picard_ica_tpu.ops.linalg import expm_pow2_chain
+
+    rng = np.random.default_rng(3)
+    d = jnp.asarray(rng.standard_normal((5, 5)) * scale)
+    n_alphas = 10
+    chain, j = expm_pow2_chain(d, n_alphas)
+    # Larger ||d|| means more squarings, each of which roughly doubles
+    # accumulated rounding — at scale=100 (||d|| ~ 200, expm ~ 1e85)
+    # chain and scipy legitimately differ at ~1e-9 relative.
+    rtol = 1e-10 if scale <= 1.0 else 1e-7
+    for k in range(n_alphas):
+        ref = scipy.linalg.expm(np.asarray(d) / 2.0**k)
+        np.testing.assert_allclose(
+            np.asarray(chain[int(j) - k]), ref, rtol=rtol, atol=1e-10
+        )
+
+
+def test_expm_chain_huge_norm_stays_accurate():
+    """Directions with max|d| > 2^16 take the dynamic pre-squaring
+    tail instead of silently truncating the scaling exponent (the
+    reference's per-try expm has no cap, math.rs:48)."""
+    from picard_ica_tpu.ops.linalg import expm_pow2_chain
+
+    # Diagonal keeps expm exactly computable: expm(diag(v)) = diag(e^v)
+    # ... but e^(2^17) overflows, so use a NILPOTENT-plus-diagonal-free
+    # huge skew matrix whose exact expm is a rotation: d = theta * J
+    # with J = [[0, -1], [1, 0]], expm(2^-k d) = rotation by 2^-k theta.
+    theta = 3.0 * 2.0**18  # norm ~7.9e5 >> 2^16
+    d = jnp.asarray([[0.0, -theta], [theta, 0.0]])
+    n_alphas = 10
+    chain, j = expm_pow2_chain(d, n_alphas)
+    for k in (0, 5, 9):
+        ang = theta / 2.0**k
+        ref = np.array(
+            [[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]]
+        )
+        got = np.asarray(chain[int(j) - k])
+        # Scaling-and-squaring at angle ~2^19 rad intrinsically
+        # amplifies rounding by ~2^s (true of the reference's per-try
+        # expm as well); the uncapped per-try matrix_exp is the
+        # behavioral target and a truncated-scaling chain would be off
+        # by O(1), not O(1e-6).
+        per_try = np.asarray(matrix_exp(jnp.asarray(d / 2.0**k)))
+        np.testing.assert_allclose(got, per_try, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)

@@ -290,3 +290,35 @@ def test_fused_kernel_accepts_bf16_x():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2
         )
+
+
+def test_row_sums_matches_dense():
+    """Pallas row-sums kernel (the TPU mean path): exact vs numpy,
+    including a partial last tile."""
+    from picard_ica_tpu.ops.pallas_kernels import row_sums
+
+    rng = np.random.default_rng(11)
+    for t in (256, 300, 5000):
+        x = rng.standard_normal((5, t)) + 3.0  # nonzero mean
+        s = row_sums(jnp.asarray(x), interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(s), x.sum(axis=1), rtol=1e-12, atol=1e-12
+        )
+
+
+def test_centered_covariance_matches_dense():
+    """Centered-covariance kernel == cov of (x - mean), including the
+    partial-tile case where padding must contribute 0, not (-mean)^2."""
+    from picard_ica_tpu.ops.pallas_kernels import centered_covariance_sums
+
+    rng = np.random.default_rng(12)
+    for t in (256, 300, 5000):
+        x = rng.standard_normal((4, t)) + 5.0  # large mean stresses masking
+        mean = x.mean(axis=1)
+        cov = centered_covariance_sums(
+            jnp.asarray(x), jnp.asarray(mean), interpret=True
+        )
+        xc = x - mean[:, None]
+        np.testing.assert_allclose(
+            np.asarray(cov), xc @ xc.T, rtol=1e-9, atol=1e-9
+        )

@@ -141,3 +141,41 @@ def test_preprocess_f64_rejects_rank_deficient():
     x = np.vstack([base, 2 * base])
     with pytest.raises(SingularMatrixError):
         preprocess_f64(x, 2, True, True)
+
+
+def test_center_whiten_matches_separate_pipeline():
+    """Fused center_whiten == center followed by whiten (same data,
+    mean and K), for every centering/whiten flag combination."""
+    from picard_ica_tpu.ops.whitening import center_whiten
+
+    rng = np.random.default_rng(21)
+    x = (rng.laplace(size=(6, 4000)) + 1.5).astype(np.float32)
+
+    x1, mean, k = center_whiten(jnp.asarray(x), 6, True, True)
+    xc, mean_ref = center(jnp.asarray(x))
+    wres = whiten(xc, 6)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(k), np.asarray(wres.whitening_matrix), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(x1), np.asarray(wres.data), rtol=1e-4, atol=1e-4
+    )
+
+    # centering off
+    x1, mean, k = center_whiten(jnp.asarray(x), 6, False, True)
+    assert mean is None
+    wres = whiten(jnp.asarray(x), 6)
+    np.testing.assert_allclose(
+        np.asarray(k), np.asarray(wres.whitening_matrix), rtol=1e-5, atol=1e-6
+    )
+
+    # whiten off
+    x1, mean, k = center_whiten(jnp.asarray(x), 6, True, False)
+    assert k is None
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), rtol=1e-6)
+
+    # both off: identity
+    x1, mean, k = center_whiten(jnp.asarray(x), 6, False, False)
+    assert mean is None and k is None
+    np.testing.assert_allclose(np.asarray(x1), x, rtol=0, atol=0)
