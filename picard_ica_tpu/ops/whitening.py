@@ -164,7 +164,22 @@ def whitening_matrix_from_covariance(cov, n_samples: int, n_components: int):
     in f32 (TPU). The singularity *raise* is the caller's job.
     """
     cov64 = np.asarray(cov, np.float64)
-    eigenvalues, eigenvectors = np.linalg.eigh(cov64)
+    try:
+        eigenvalues, eigenvectors = np.linalg.eigh(cov64)
+    except np.linalg.LinAlgError as e:
+        # Reference parity: decomposition failure surfaces as
+        # ComputationError (whitening.rs:62-67 maps the SVD error the
+        # same way) — typically non-finite input data.
+        from ..errors import ComputationError
+
+        raise ComputationError(
+            f"whitening eigendecomposition failed: {e}"
+            + (
+                " (input data contains non-finite values)"
+                if not np.all(np.isfinite(cov64))
+                else ""
+            )
+        ) from e
     # eigh returns ascending order; the SVD convention is descending.
     order = np.argsort(eigenvalues)[::-1][:n_components]
     top_eigs = eigenvalues[order]
