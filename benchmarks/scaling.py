@@ -36,7 +36,7 @@ def run_at(n_devices: int, n: int, t_per_chip: int, reps: int) -> dict:
 
     from picard_ica_tpu.models.core import CoreOptions, run_core_jit
     from picard_ica_tpu.ops.densities import Tanh
-    from picard_ica_tpu.ops.whitening import center, whiten
+    from picard_ica_tpu.ops.whitening import center_whiten
     from picard_ica_tpu.parallel import data_sharding, sample_mesh, shard_samples
     from picard_ica_tpu.utils.datagen import generate_bench_data
 
@@ -47,8 +47,7 @@ def run_at(n_devices: int, n: int, t_per_chip: int, reps: int) -> dict:
     sharding = data_sharding(mesh)
 
     xs = shard_samples(jnp.asarray(x), mesh)
-    xc, _ = center(xs)
-    xw = whiten(xc, n).data
+    xw, _, _ = center_whiten(xs, n)
     xw = jax.device_put(xw, sharding)
     jax.block_until_ready(xw)
 

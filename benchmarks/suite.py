@@ -160,11 +160,10 @@ def _core_throughput(x_np, n, tol, max_iter, opts_kw, reps):
     import jax.numpy as jnp
 
     from picard_ica_tpu.models.core import CoreOptions, run_core_jit
-    from picard_ica_tpu.ops.whitening import center, whiten
+    from picard_ica_tpu.ops.whitening import center_whiten
 
-    xc, _ = center(jnp.asarray(x_np))
-    xw = whiten(xc, n).data
-    jax.block_until_ready(xw)
+    xw, _, _ = center_whiten(jnp.asarray(x_np), n)
+    np.asarray(xw[:1, :1])  # real sync (early block_until_ready here)
     t = xw.shape[1]
 
     opts = CoreOptions(**opts_kw)

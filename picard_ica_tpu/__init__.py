@@ -29,6 +29,7 @@ Example::
 
 from .config import ConfigBuilder, PicardConfig
 from .errors import (
+    AccuracyWarning,
     ComputationError,
     InvalidConfigError,
     InvalidDimensionsError,
@@ -56,6 +57,7 @@ __all__ = [
     "SingularMatrixError",
     "ComputationError",
     "InvalidConfigError",
+    "AccuracyWarning",
     "Density",
     "DensityType",
     "Tanh",

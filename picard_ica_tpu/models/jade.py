@@ -181,6 +181,10 @@ def _jacobi_sweeps(cumulants, n: int, max_iter: int, tol, verbose: bool):
     checks orthogonality of the output, jade.rs:246-255, so the defect
     is invisible there). Here V <- V G with G = [[c, -s], [s, c]] on
     each (p, q) plane, which maximizes the joint-diagonality objective.
+    Committed exhibit: docs/JADE_ORIENTATION.md (regenerate with
+    docs/jade_orientation_exhibit.py) shows the off-diagonal norm per
+    sweep on the reference's own 3-source fixture — oscillating under
+    the reference orientation, converging in 2 sweeps under this one.
     """
     dtype = cumulants.dtype
     p_sched, q_sched, valid_sched = _round_robin_schedule(n)
