@@ -23,6 +23,13 @@ from typing import Protocol, Tuple, runtime_checkable
 
 import jax.numpy as jnp
 
+# f32 delta forms use a native tanh instead of the exp-based identity
+# (saves two of three exps per element in the VPU-bound fused kernel).
+# Flag exists so the exact f64-form math remains selectable if a Mosaic
+# build without a tanh lowering turns up; f64 always uses the exact
+# form regardless (oracle-lockstep surface).
+_TANH_NATIVE_DELTA = True
+
 
 def _expm1(t):
     """``exp(t) - 1`` usable inside Pallas TPU kernels.
@@ -36,9 +43,22 @@ def _expm1(t):
     """
     if t.dtype == jnp.float64:
         return jnp.expm1(t)
-    p = t * (1.0 + t * (1.0 / 2 + t * (1.0 / 6 + t * (1.0 / 24 + t * (
+    return jnp.where(jnp.abs(t) < 0.5, _expm1_poly(t), jnp.exp(t) - 1.0)
+
+
+def _expm1_poly(t):
+    """``expm1`` Horner polynomial, valid ONLY for |t| <= 0.5.
+
+    The fused delta forms call this on a pre-clipped argument whose
+    out-of-range lanes are discarded by their own outer ``where`` —
+    using the bare polynomial there skips a dead ``exp`` the full
+    ``_expm1``'s fallback branch would still execute per element (the
+    fused kernel is VPU-bound, so dead transcendentals are real time).
+    """
+    if t.dtype == jnp.float64:
+        return jnp.expm1(t)
+    return t * (1.0 + t * (1.0 / 2 + t * (1.0 / 6 + t * (1.0 / 24 + t * (
         1.0 / 120 + t * (1.0 / 720 + t * (1.0 / 5040 + t * (1.0 / 40320))))))))
-    return jnp.where(jnp.abs(t) < 0.5, p, jnp.exp(t) - 1.0)
 
 
 @runtime_checkable
@@ -132,22 +152,44 @@ class Tanh:
         y_new = y_old + dy
         abs_new = jnp.abs(y_new)
         abs_old = jnp.abs(y_old)
-        e_a = jnp.exp(-2.0 * a * abs_new)
         e_b = jnp.exp(-2.0 * a * abs_old)
-
-        t_th = (1.0 - e_a) / (1.0 + e_a)
-        score = jnp.sign(y_new) * t_th
-        score_der = a * (1.0 - t_th * t_th)
 
         crossing = abs_old <= jnp.abs(dy)
         d_abs = jnp.where(crossing, abs_new - abs_old, jnp.sign(y_old) * dy)
         t = -2.0 * a * d_abs
         small = jnp.abs(t) < 0.5
-        num = jnp.where(
-            small,
-            e_b * _expm1(jnp.clip(t, -0.5, 0.5)),
-            e_a - e_b,
-        )
+
+        if y_old.dtype == jnp.float64 or not _TANH_NATIVE_DELTA:
+            # f64 conformance surface: bit-for-bit the form the C++
+            # oracle's lockstep tests were measured against.
+            e_a = jnp.exp(-2.0 * a * abs_new)
+            t_th = (1.0 - e_a) / (1.0 + e_a)
+            score = jnp.sign(y_new) * t_th
+            score_der = a * (1.0 - t_th * t_th)
+            num = jnp.where(
+                small,
+                e_b * _expm1(jnp.clip(t, -0.5, 0.5)),
+                e_a - e_b,
+            )
+        else:
+            # f32 hot path: one native tanh replaces two exps.
+            #   score = tanh(a*y_new) (exact — no (1-e)/(1+e) algebra),
+            #   e_a   = (1-|tanh|)/(1+|tanh|), needed ONLY in the
+            #           large-|t| branch where dll is dominated by
+            #           d_abs >= 0.25/a, so the ~1e-7 absolute error
+            #           this back-derivation carries for large |y_new|
+            #           stays ~5e-7 RELATIVE in dll — f32-grade.
+            # The small-|t| branch (every near-convergence element)
+            # never touches e_a and is bit-identical to the f64 form.
+            score = jnp.tanh(a * y_new)
+            score_der = a * (1.0 - score * score)
+            abs_th = jnp.abs(score)
+            e_a = (1.0 - abs_th) / (1.0 + abs_th)
+            num = jnp.where(
+                small,
+                e_b * _expm1_poly(jnp.clip(t, -0.5, 0.5)),
+                e_a - e_b,
+            )
         dll = d_abs + jnp.log1p(num / (1.0 + e_b)) / a
         return score, score_der, dll
 
@@ -212,7 +254,7 @@ class Exp:
         small = jnp.abs(q) < 0.5
         dll = jnp.where(
             small,
-            -k_b * _expm1(jnp.clip(q, -0.5, 0.5)) / a,
+            -k_b * _expm1_poly(jnp.clip(q, -0.5, 0.5)) / a,
             (k_b - k_a) / a,
         )
         return score, score_der, dll

@@ -10,6 +10,10 @@ iterations to tolerance, and grad-loop samples/s/chip.
 
 from __future__ import annotations
 
+import glob
+import gzip
+import json
+import os
 import time
 from typing import Optional
 
@@ -31,6 +35,56 @@ def profile_fit(x, config: Optional[PicardConfig] = None, mesh=None,
         result = Picard.fit(x, config, mesh=mesh)
         jax.block_until_ready(result.sources)
     return result
+
+
+def device_trace_summary(trace_dir: str, device_substr: str = "TPU",
+                         top_k: int = 12) -> dict:
+    """Aggregate on-device op time from a ``jax.profiler.trace`` dump.
+
+    Wall-clock timing of sub-ms launches is unreliable through this
+    environment's TPU tunnel (``block_until_ready`` can return early),
+    so every committed per-call device cost in DESIGN.md comes from
+    profiler traces. This parses the newest
+    ``plugins/profile/*/<host>.trace.json.gz`` under ``trace_dir``,
+    keeps complete ("X") events on processes whose name contains
+    ``device_substr`` (e.g. "/device:TPU:0"; pass "CPU" on the host
+    backend), and returns::
+
+        {"total_us": float,            # summed op duration
+         "by_op":   {name: us, ...},  # per-op totals, descending
+         "trace_path": str}
+
+    ``total_us`` over-counts if ops overlap on parallel device tracks;
+    on a single TPU core the compute track is serial, so the sum is the
+    device busy time.
+    """
+    dumps = sorted(glob.glob(os.path.join(
+        trace_dir, "plugins", "profile", "*", "*.trace.json.gz")))
+    if not dumps:
+        raise FileNotFoundError(f"no trace dumps under {trace_dir}")
+    path = dumps[-1]
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+
+    device_pids = set()
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pname = str(ev.get("args", {}).get("name", ""))
+            if device_substr.lower() in pname.lower():
+                device_pids.add(ev.get("pid"))
+
+    by_op: dict = {}
+    total = 0.0
+    for ev in events:
+        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
+            continue
+        dur = float(ev.get("dur", 0.0))
+        total += dur
+        name = ev.get("name", "?")
+        by_op[name] = by_op.get(name, 0.0) + dur
+    by_op = dict(sorted(by_op.items(), key=lambda kv: -kv[1])[:top_k])
+    return {"total_us": total, "by_op": by_op, "trace_path": path}
 
 
 def fit_with_timing(x, config: Optional[PicardConfig] = None, mesh=None,
