@@ -187,8 +187,28 @@ def _core_throughput(x_np, n, tol, max_iter, opts_kw, reps):
     if best < 0.15:
         # This environment dispatches through a TPU tunnel with ~35 ms
         # fixed per-launch overhead (CLAUDE.md): sub-150 ms walls
-        # measure the tunnel, not the chip.
+        # measure the tunnel, not the chip. Re-measure on-device time
+        # from a profiler trace and make THAT the row's headline
+        # number — a wall-clock rate here would anchor readers to the
+        # tunnel, not the hardware.
         rec["overhead_bound"] = True
+        try:
+            import tempfile
+
+            from picard_ica_tpu.utils.profiling import device_trace_summary
+
+            with tempfile.TemporaryDirectory() as td:
+                with jax.profiler.trace(td):
+                    res = run_core_jit(xw, cov, tol, 0.01, max_iter, opts)
+                    jax.block_until_ready(res)
+                    np.asarray(xw[:1, :1])  # real sync inside the trace
+                dsub = "TPU" if jax.default_backend() == "tpu" else "CPU"
+                device_s = device_trace_summary(td, dsub)["total_us"] / 1e6
+            rec["device_s"] = device_s
+            rec["samples_per_s_device"] = t * iters / device_s
+            rec["samples_per_s"] = rec["samples_per_s_device"]
+        except Exception as e:  # pragma: no cover - trace plumbing
+            print(f"device-trace remeasure failed: {e}", file=sys.stderr)
     return rec
 
 
