@@ -158,6 +158,10 @@ class CoreResult(NamedTuple):
     stage_exits: jnp.ndarray
     # Total fused line-search passes over X (tries incl. fallbacks).
     ls_calls: jnp.ndarray
+    # (n_stages,) CUMULATIVE ls_calls at each stage exit — with
+    # stage_exits this gives per-tier pass counts, the call-count side
+    # of the headline cost model (calls x per-tier ms, DESIGN.md §6).
+    stage_ls_calls: jnp.ndarray
 
 
 _HI = jax.lax.Precision.HIGHEST
@@ -1046,6 +1050,7 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
         return (st.it < max_iter) & (~st.converged)
 
     stage_exits = []
+    stage_ls = []
     for idx, (precision, floor) in enumerate(stages):
         final_stage = idx == len(stages) - 1
         stage_opts = dataclasses.replace(
@@ -1126,6 +1131,7 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
 
         state = lax.while_loop(cond, body, state)
         stage_exits.append(state.n_iter_done)
+        stage_ls.append(state.ls_calls)
 
     final = state
 
@@ -1144,6 +1150,7 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
         signs=final.signs,
         stage_exits=jnp.stack(stage_exits),
         ls_calls=final.ls_calls,
+        stage_ls_calls=jnp.stack(stage_ls),
     )
 
 

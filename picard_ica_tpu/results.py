@@ -46,6 +46,11 @@ class PicardResult:
     # of X, the dominant cost; ls_calls / n_iterations is the
     # optimizer-efficiency diagnostic.
     ls_calls: Optional[int] = None
+    # Cumulative ls_calls at each stage exit (aligned with
+    # stage_exits); successive differences are the per-tier pass
+    # counts that, times the per-tier device cost, form the headline
+    # cost model.
+    stage_ls_calls: Optional[tuple] = None
 
     def full_unmixing(self) -> jnp.ndarray:
         """``W @ K`` when whitened, else ``W`` (result.rs:39-44).

@@ -254,6 +254,7 @@ class Picard:
 
         stage_precisions = tuple(p for p, _ in _precision_stages(opts))
         stage_exits = tuple(int(v) for v in np.asarray(core.stage_exits))
+        stage_ls_calls = tuple(int(v) for v in np.asarray(core.stage_ls_calls))
         ls_calls = int(core.ls_calls)
 
         if config.verbose:
@@ -294,6 +295,7 @@ class Picard:
             stage_exits=stage_exits,
             stage_precisions=stage_precisions,
             ls_calls=ls_calls,
+            stage_ls_calls=stage_ls_calls,
         )
 
     @staticmethod

@@ -295,5 +295,10 @@ def test_result_diagnostics_and_verbose_summary(capsys):
     assert res.stage_exits[-1] == res.n_iterations
     # Every iteration but the last runs at least one fused pass.
     assert res.ls_calls >= res.n_iterations - 1
+    # Per-stage cumulative pass counts align with the stage exits and
+    # end at the total.
+    assert len(res.stage_ls_calls) == len(res.stage_exits)
+    assert res.stage_ls_calls[-1] == res.ls_calls
+    assert all(b >= a for a, b in zip(res.stage_ls_calls, res.stage_ls_calls[1:]))
     err = capsys.readouterr().err
     assert "line-search passes" in err
