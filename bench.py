@@ -127,7 +127,9 @@ def _tpu_samples_per_sec() -> tuple:
     result = run()
     jax.block_until_ready(result)  # compile + warm
     _log(f"core compile+warm run done in {time.time() - t0:.1f}s "
-         f"({int(result.n_iterations)} iters)")
+         f"({int(result.n_iterations)} iters, "
+         f"stage_exits={[int(v) for v in result.stage_exits]}, "
+         f"stage_ls_calls={[int(v) for v in result.stage_ls_calls]})")
     if not bool(result.converged):
         print(
             f"warning: did not reach tol={TOL} "
