@@ -35,21 +35,43 @@ _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
+_BASE_FLAGS = [
+    "-O3", "-march=native", "-fno-math-errno", "-fopenmp", "-fPIC",
+    "-std=c++17",
+]
+# rng.cpp must stay bit-identical to the pure-Python twin in
+# utils/reference_rng.py: FMA contraction (on by default at -O3)
+# would fork its ziggurat rejection decisions.
+_PER_FILE_FLAGS = {"rng.cpp": ["-ffp-contract=off"]}
+_SOURCES = ("datagen.cpp", "oracle.cpp", "rng.cpp")
+
+
 def _build() -> bool:
-    sources = [os.path.join(_SRC, f) for f in ("datagen.cpp", "oracle.cpp")]
+    sources = [os.path.join(_SRC, f) for f in _SOURCES]
     newest_src = max(os.path.getmtime(s) for s in sources)
     if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= newest_src:
         return True
-    cmd = [
-        "g++", "-O3", "-march=native", "-fno-math-errno", "-fopenmp",
-        "-fPIC", "-shared", "-std=c++17", "-o", _LIB_PATH, *sources,
-        "-lmvec",
-    ]
+    objects = []
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        for src in sources:
+            name = os.path.basename(src)
+            obj = os.path.join(_DIR, name.replace(".cpp", ".o"))
+            cmd = ["g++", *_BASE_FLAGS, *_PER_FILE_FLAGS.get(name, []),
+                   "-c", src, "-o", obj]
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+            objects.append(obj)
+        link = ["g++", *_BASE_FLAGS, "-shared", "-o", _LIB_PATH, *objects,
+                "-lmvec"]
+        subprocess.run(link, check=True, capture_output=True, timeout=300)
         return True
     except (OSError, subprocess.SubprocessError):
         return False
+    finally:
+        for obj in objects:
+            try:
+                os.remove(obj)
+            except OSError:
+                pass
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -95,6 +117,14 @@ def _load() -> Optional[ctypes.CDLL]:
             d, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
             ctypes.c_int, d,
         ]
+        lib.picard_reference_normal_fill.restype = None
+        lib.picard_reference_normal_fill.argtypes = [
+            ctypes.c_uint64, d, ctypes.c_size_t,
+        ]
+        lib.picard_reference_u64_fill.restype = None
+        lib.picard_reference_u64_fill.argtypes = [
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t,
+        ]
         _lib = lib
         return _lib
 
@@ -130,6 +160,35 @@ def lcg_uniform_centered(seed: int, count: int) -> tuple:
         ctypes.c_uint64(seed), _ptr(out), ctypes.c_size_t(count)
     )
     return out, int(state)
+
+
+def reference_normal_matrix(seed: int, n_rows: int, n_cols: int):
+    """Row-major StandardNormal fill from ``StdRng::seed_from_u64`` —
+    the reference's random W-init stream (solver.rs:112-120), or
+    ``None`` if the native library is unavailable (callers fall back
+    to the pure-Python twin in :mod:`..utils.reference_rng`)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(n_rows * n_cols, np.float64)
+    lib.picard_reference_normal_fill(
+        ctypes.c_uint64(seed), _ptr(out), ctypes.c_size_t(out.size)
+    )
+    return out.reshape(n_rows, n_cols)
+
+
+def reference_u64_stream(seed: int, count: int):
+    """Raw ``StdRng`` u64 stream (ChaCha12 layer only), or ``None``."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(count, np.uint64)
+    lib.picard_reference_u64_fill(
+        ctypes.c_uint64(seed),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_size_t(count),
+    )
+    return out
 
 
 _DENSITY_CODE = {"tanh": 0, "exp": 1, "cube": 2}

@@ -116,12 +116,14 @@ class Picard:
             if not host_f64:
                 x = jax.device_put(x, sharding)
 
-        # RNG (solver.rs:57-60). jax PRNG replaces StdRng; random_state
-        # gives reproducibility within this implementation.
+        # RNG (solver.rs:57-60): the reference-matched StdRng/ChaCha12
+        # stream (utils/reference_rng.py) — a given random_state draws
+        # the SAME w_init the reference draws. A None seed matches the
+        # reference's from_rng(rand::rng()) behaviorally (fresh OS
+        # entropy each call).
         seed = config.random_state
         if seed is None:
-            seed = int(np.random.SeedSequence().entropy % (2**63))
-        key = jax.random.PRNGKey(seed)
+            seed = int(np.random.SeedSequence().entropy % (2**64))
 
         requested = min(n, p) if config.n_components is None else config.n_components
         n_components = min(requested, min(n, p))
@@ -175,7 +177,18 @@ class Picard:
                     f"({actual_components}, {actual_components})"
                 )
         else:
-            w_raw = jax.random.normal(key, (actual_components, actual_components), dtype)
+            # Row-major N(0,1) fill from StdRng::seed_from_u64(seed),
+            # bit-matching solver.rs:112-120 (sampled in f64 on the
+            # host like the reference, then cast to the core dtype).
+            # Lazy import: utils/__init__ -> profiling -> solver cycle.
+            from .utils import reference_rng
+
+            w_raw = jnp.asarray(
+                reference_rng.normal_matrix(
+                    seed, actual_components, actual_components
+                ),
+                dtype,
+            )
             w_init, min_eig = sym_decorrelation_with_mineig(w_raw)
             if float(min_eig) < _SYM_DECORR_MIN_EIG:
                 raise SingularMatrixError()
