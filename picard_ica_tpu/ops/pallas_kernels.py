@@ -20,7 +20,7 @@ A single running f32 accumulator would be n_tiles adds deep and costs
 fold keep the moment error at the single-tile level, which is what
 lets f32 TPU runs converge to tol = 1e-7 (SURVEY.md §7 hard part c).
 
-Three kernels cover everything:
+Resident-W kernels (N up to max_fused_n) cover everything:
   * rotated_moments — G = psi(WX)(WX)^T, E[psi'], optionally
     H = psi'(WX)((WX)^2)^T and E[(WX)^2]  (core.rs:215-276); runs
     once per fit, at initialization
@@ -30,6 +30,14 @@ Three kernels cover everything:
   * rotated_fused   — THE hot kernel: one line-search try (per-element
     loss delta vs the current W) plus the candidate's full moment set,
     in a single read of X per try
+
+Beyond max_fused_n the public wrappers dispatch to streaming-W
+variants (streaming_fused_sums / streaming_loglik_sums): weights pass
+through VMEM as (128, N) row blocks, a per-tile Y scratch feeds the
+G/H contractions, and the N x N accumulators live in a VMEM output
+block shared by a group of tiles — lifting the cap to max_streaming_n
+(~896 with H, ~1152 G-only by the VMEM model; TPU-calibration pending,
+see _stream_dims). Larger N still routes to XLA (solver.py).
 
 All return UNNORMALIZED sums over the local T axis so multi-chip
 callers can psum across sample shards before dividing by global T.
@@ -122,8 +130,9 @@ def _tile_t(n: int, t: int, n_bufs: int = _DELTA_BUFS,
     the buffer counts above); the budget keeps it near ~12MB of the
     16MB scoped-VMEM limit (verified to N=256 at T=2M; 2MB x-tiles
     compile-OOM at N=128). Beyond :func:`max_fused_n` the weight
-    blocks alone bust the budget — the solver routes such sizes to
-    the XLA path (see solver.py).
+    blocks alone bust the budget — the wrappers dispatch such sizes
+    to the streaming-W kernels (and the solver routes past
+    max_streaming_n to the XLA path).
     """
     if t <= 512:
         # Tiny inputs (tests): one tile, rounded up to the lane width.
@@ -150,6 +159,51 @@ def max_fused_n(absolute_ll: bool = False) -> int:
     traffic is not the bottleneck).
     """
     return 576 if absolute_ll else 512
+
+
+_STREAM_NB = 128  # W row-block height (one MXU tile of output rows)
+_STREAM_GROUP = 16  # x-tiles accumulated per G/H output partial
+
+
+def _stream_dims(n: int, t: int, need_h: bool, absolute_ll: bool,
+                 elem_bytes: int = 4) -> tuple:
+    """(bt, npad) for the streaming large-N kernel, or bt=0 if even the
+    minimum 128-lane tile busts the VMEM budget.
+
+    The streaming kernel never holds a full (N, N) weight matrix:
+    weights stream through VMEM as (128, N) row blocks and the only
+    N-sized residents are the Y scratch (npad x bt), the contraction
+    temporaries and the G/H accumulator blocks (npad^2 each) — which is
+    what lifts the fused-kernel N cap from 512 to ~1024 (non-ortho) /
+    ~1664 (ortho, G only).
+    """
+    npad = -(-n // _STREAM_NB) * _STREAM_NB
+    acc_outs = (2 if need_h else 1) * npad * npad * 4
+    w_blocks = (1 if absolute_ll else 2) * 2 * _STREAM_NB * n * elem_bytes
+    per_bt = (
+        2 * n * elem_bytes          # x tile, double-buffered
+        + npad * 4                  # y_new scratch (f32 accumulate)
+        + 3 * npad * 4              # contraction temps (psi, psi', y^2)
+        + (4 if absolute_ll else 7) * _STREAM_NB * 4  # rotation temps
+    )
+    avail = _VMEM_BUDGET - acc_outs - w_blocks
+    if avail <= 0:
+        return 0, npad
+    bt = min(2048, avail // per_bt)
+    return (bt // 128) * 128, npad
+
+
+def max_streaming_n(need_h: bool = True) -> int:
+    """Largest N the streaming kernel's VMEM model admits (at the
+    minimum 128-lane tile) — the solver's extended routing threshold."""
+    n = _STREAM_NB
+    best = 0
+    while True:
+        bt, _ = _stream_dims(n, 10**9, need_h, absolute_ll=False)
+        if bt < 128:
+            return best
+        best = n
+        n += _STREAM_NB
 
 
 def _mask_cols(i, bt, t, shape):
@@ -241,6 +295,15 @@ def rotated_moments_sums(
     pytree is static).
     """
     n, t = x.shape
+    if n > max_fused_n(absolute_ll=True):
+        # Resident-W cap exceeded: the streaming kernel's plain mode
+        # computes the identical moment set (its dll/dysq slots are
+        # discarded; this path runs once per fit, at initialization).
+        out = streaming_fused_sums(
+            w, w, x, density, need_h, need_ysq, interpret=interpret,
+            absolute_ll=True,
+        )
+        return out[2], out[3], out[4], out[5]
     bt = _tile_t(n, t)
     n_tiles = pl.cdiv(t, bt)
     dtype = _acc_dtype(x)
@@ -457,6 +520,10 @@ def rotated_loglik_sums(
     X and no writes.
     """
     n, t = x.shape
+    if n > max_fused_n(absolute_ll=True):
+        return streaming_loglik_sums(
+            m, x, density, need_ysq, interpret=interpret
+        )
     bt = _tile_t(n, t)
     n_tiles = pl.cdiv(t, bt)
     dtype = _acc_dtype(x)
@@ -594,6 +661,12 @@ def rotated_fused_sums(
     cheap-tier accept path; m_old is ignored).
     """
     n, t = x.shape
+    if n > max_fused_n(absolute_ll):
+        return streaming_fused_sums(
+            m_new, m_old, x, density, need_h, need_ysq,
+            interpret=interpret, precision=precision,
+            absolute_ll=absolute_ll,
+        )
     if absolute_ll:
         bt = _tile_t(n, t, _PLAIN_BUFS, _PLAIN_WEIGHTS)
     else:
@@ -668,6 +741,297 @@ def rotated_fused_sums(
         (_reduce_partials(h, dtype) if need_h
          else jnp.zeros((n, n), dtype)),
         (_reduce_partials(ysq, dtype)[:, 0] if need_ysq
+         else jnp.zeros((n,), dtype)),
+    )
+
+
+def _streaming_fused_kernel(
+    m_new_ref, m_old_ref, x_ref, dll_ref, dysq_ref, g_ref, pm_ref, h_ref,
+    ysq_ref, y_scr, *, density, need_h, need_ysq, t, bt, acc, precision,
+    absolute_ll, n_blocks, group,
+):
+    """Large-N fused step: W streams through VMEM in (128, N) row
+    blocks instead of sitting resident.
+
+    Grid (i, p) with p minor: phases p < n_blocks rotate row block p of
+    the candidate against the x tile (resident across all phases of a
+    tile), emit that block's line-search / row-moment partials, and park
+    y_new in the Y scratch; the final phase p == n_blocks recomputes
+    psi/psi' from the completed (npad, bt) Y scratch (one extra VPU
+    transcendental pass — cheap next to the O(N^2 bt) MXU work at these
+    sizes) and accumulates the G/H contractions into an output block
+    shared by `group` consecutive tiles (revisited contiguously, so the
+    accumulator lives in VMEM; sequential depth `group` on top of the
+    per-tile MXU partial, vs the per-tile-partials + pairwise fold of
+    the resident-W kernel). Padding rows of W are zero-filled by the
+    wrapper, so padded Y rows are exactly 0 and every padded
+    G/H/stat entry dies at the final slice.
+    """
+    i = pl.program_id(0)
+    p = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i % group == 0, p == 0))
+    def _init_accumulators():
+        g_ref[...] = jnp.zeros_like(g_ref)
+        if need_h:
+            h_ref[...] = jnp.zeros_like(h_ref)
+
+    mm_dims = (((1,), (0,)), ((), ()))
+    ct_dims = (((1,), (1,)), ((), ()))
+
+    @pl.when(p < n_blocks)
+    def _rotate_block():
+        x_t = x_ref[...]
+        if t % bt != 0:
+            x_t = jnp.where(_mask_cols(i, bt, t, x_t.shape), x_t, 0.0)
+
+        if absolute_ll:
+            y_new = _kernel_dot(m_new_ref[...], x_t, mm_dims, acc, precision)
+            psi, psi_d, ll = density.score_der_loglik(y_new)
+            if t % bt != 0:
+                mask = _mask_cols(i, bt, t, psi_d.shape)
+                psi_d = jnp.where(mask, psi_d, 0.0)
+                ll = jnp.where(mask, ll, 0.0)
+            dll_ref[0] = jnp.sum(ll, axis=1, keepdims=True)
+            if need_ysq:
+                dysq_ref[0] = jnp.sum(y_new * y_new, axis=1, keepdims=True)
+            else:
+                dysq_ref[0] = jnp.zeros_like(dysq_ref[0])
+        else:
+            dm = m_new_ref[...] - m_old_ref[...]
+            y_old = _kernel_dot(m_old_ref[...], x_t, mm_dims, acc, precision)
+            dy = _kernel_dot(dm, x_t, mm_dims, acc, precision)
+            y_new = y_old + dy
+            psi, psi_d, dll = density.score_der_loglik_delta(y_old, dy)
+            if t % bt != 0:
+                psi_d = jnp.where(_mask_cols(i, bt, t, psi_d.shape), psi_d, 0.0)
+            dll_ref[0] = jnp.sum(dll, axis=1, keepdims=True)
+            if need_ysq:
+                dysq_ref[0] = jnp.sum(
+                    (2.0 * y_old + dy) * dy, axis=1, keepdims=True
+                )
+            else:
+                dysq_ref[0] = jnp.zeros_like(dysq_ref[0])
+
+        pm_ref[0] = jnp.sum(psi_d, axis=1, keepdims=True)
+        if need_ysq:
+            ysq_ref[0] = jnp.sum(y_new * y_new, axis=1, keepdims=True)
+        else:
+            ysq_ref[0] = jnp.zeros_like(ysq_ref[0])
+        y_scr[p] = y_new.astype(y_scr.dtype)
+
+    @pl.when(p == n_blocks)
+    def _contract():
+        # (npad, bt) assembled from the per-block scratch slots; psi
+        # and psi' are recomputed here rather than parked in two more
+        # npad x bt scratches.
+        y_full = jnp.concatenate(
+            [y_scr[b] for b in range(n_blocks)], axis=0
+        )
+        psi, psi_d = density.score_and_der(y_full)
+        # psi(0) == 0 at both column padding (masked x) and row padding
+        # (zero W rows), so G needs no masking; H's right operand y^2
+        # is 0 at the same places, which kills psi'(0) != 0 there too.
+        g_ref[0] += _kernel_dot(psi, y_full, ct_dims, acc, precision)
+        if need_h:
+            h_ref[0] += _kernel_dot(
+                psi_d, y_full * y_full, ct_dims, acc, precision
+            )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "density", "need_h", "need_ysq", "interpret", "precision",
+        "absolute_ll",
+    ),
+)
+def streaming_fused_sums(
+    m_new, m_old, x, density: Density, need_h: bool, need_ysq: bool,
+    interpret: bool = False, precision: str = "f32",
+    absolute_ll: bool = False,
+):
+    """:func:`rotated_fused_sums` semantics for N beyond the resident-W
+    kernels' VMEM cap (see :func:`_stream_dims`); same return tuple."""
+    n, t = x.shape
+    dtype = _acc_dtype(x)
+    elem = jnp.dtype(x.dtype).itemsize
+    bt, npad = _stream_dims(n, t, need_h, absolute_ll, elem)
+    if bt < 128:
+        raise ValueError(
+            f"N={n} exceeds the streaming kernel's VMEM model "
+            f"(max_streaming_n(need_h={need_h}) = {max_streaming_n(need_h)})"
+        )
+    if t <= 512:
+        bt = max(128, -(-t // 128) * 128)
+    n_blocks = npad // _STREAM_NB
+    n_tiles = pl.cdiv(t, bt)
+    group = min(_STREAM_GROUP, n_tiles)
+    n_groups = pl.cdiv(n_tiles, group)
+
+    kernel = functools.partial(
+        _streaming_fused_kernel, density=density, need_h=need_h,
+        need_ysq=need_ysq, t=t, bt=bt, acc=dtype, precision=precision,
+        absolute_ll=absolute_ll, n_blocks=n_blocks, group=group,
+    )
+    if absolute_ll:
+        inner = kernel
+
+        def kernel(m_new_ref, x_ref, *refs):
+            inner(m_new_ref, None, x_ref, *refs)
+
+    last = n_blocks - 1
+
+    def w_idx(i, p):
+        return (jnp.minimum(p, last), 0)
+
+    def stat_idx(i, p):
+        return (i, jnp.minimum(p, last), 0)
+
+    def dummy_idx(i, p):
+        return (i, 0, 0)
+
+    def acc_idx(i, p):
+        return (i // group, 0, 0)
+
+    nb = _STREAM_NB
+    ysq_rows = nb if need_ysq else 1
+    ysq_dim1 = npad if need_ysq else 1
+    h_dim = npad if need_h else 1
+
+    w_spec = pl.BlockSpec((nb, n), w_idx, memory_space=pltpu.VMEM)
+    in_specs = [w_spec] * (1 if absolute_ll else 2) + [
+        pl.BlockSpec((n, bt), lambda i, p: (0, i), memory_space=pltpu.VMEM),
+    ]
+
+    def stat_spec(rows):
+        idx = stat_idx if rows == nb else dummy_idx
+        return pl.BlockSpec((1, rows, 1), idx, memory_space=pltpu.VMEM)
+
+    pad_w = npad - n
+
+    def prep(m):
+        m = m.astype(x.dtype)
+        return jnp.pad(m, ((0, pad_w), (0, 0))) if pad_w else m
+
+    operands = (
+        (prep(m_new), x) if absolute_ll
+        else (prep(m_new), prep(m_old), x)
+    )
+    dll, dysq, g, pm, h, ysq = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_blocks + 1),
+        in_specs=in_specs,
+        out_specs=[
+            stat_spec(nb),
+            stat_spec(ysq_rows),
+            pl.BlockSpec((1, npad, npad), acc_idx, memory_space=pltpu.VMEM),
+            stat_spec(nb),
+            pl.BlockSpec((1, h_dim, h_dim), acc_idx, memory_space=pltpu.VMEM),
+            stat_spec(ysq_rows),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, npad, 1), dtype),
+            jax.ShapeDtypeStruct((n_tiles, ysq_dim1, 1), dtype),
+            jax.ShapeDtypeStruct((n_groups, npad, npad), dtype),
+            jax.ShapeDtypeStruct((n_tiles, npad, 1), dtype),
+            jax.ShapeDtypeStruct((n_groups, h_dim, h_dim), dtype),
+            jax.ShapeDtypeStruct((n_tiles, ysq_dim1, 1), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((n_blocks, nb, bt), dtype)],
+        interpret=interpret,
+    )(*operands)
+
+    return (
+        _reduce_partials(dll, dtype)[:n, 0],
+        (_reduce_partials(dysq, dtype)[:n, 0] if need_ysq
+         else jnp.zeros((n,), dtype)),
+        _reduce_partials(g, dtype)[:n, :n],
+        _reduce_partials(pm, dtype)[:n, 0],
+        (_reduce_partials(h, dtype)[:n, :n] if need_h
+         else jnp.zeros((n, n), dtype)),
+        (_reduce_partials(ysq, dtype)[:n, 0] if need_ysq
+         else jnp.zeros((n,), dtype)),
+    )
+
+
+def _streaming_loglik_kernel(
+    m_ref, x_ref, ll_ref, ysq_ref, *, density, need_ysq, t, bt, acc
+):
+    i = pl.program_id(0)
+    x_t = x_ref[...]
+    if t % bt != 0:
+        x_t = jnp.where(_mask_cols(i, bt, t, x_t.shape), x_t, 0.0)
+    prec = None if x_t.dtype == jnp.bfloat16 else _HI
+    y = jnp.dot(m_ref[...], x_t, preferred_element_type=acc, precision=prec)
+    ll = density.log_lik(y)
+    if t % bt != 0:
+        ll = jnp.where(_mask_cols(i, bt, t, ll.shape), ll, 0.0)
+    ll_ref[0] = jnp.sum(ll, axis=1, keepdims=True)
+    if need_ysq:
+        ysq_ref[0] = jnp.sum(y * y, axis=1, keepdims=True)
+    else:
+        ysq_ref[0] = jnp.zeros_like(ysq_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("density", "need_ysq", "interpret"))
+def streaming_loglik_sums(
+    m, x, density: Density, need_ysq: bool, interpret: bool = False
+):
+    """:func:`rotated_loglik_sums` for large N: M streams in (128, N)
+    row blocks (grid (tile, block), no contraction phase). Used only at
+    loss (re)baselines, so the N^2 x 4 bytes/tile of extra M traffic is
+    immaterial."""
+    n, t = x.shape
+    dtype = _acc_dtype(x)
+    bt, npad = _stream_dims(n, t, need_h=False, absolute_ll=True,
+                            elem_bytes=jnp.dtype(x.dtype).itemsize)
+    if t <= 512:
+        bt = max(128, -(-t // 128) * 128)
+    n_blocks = npad // _STREAM_NB
+    n_tiles = pl.cdiv(t, bt)
+    nb = _STREAM_NB
+
+    kernel = functools.partial(
+        _streaming_loglik_kernel, density=density, need_ysq=need_ysq,
+        t=t, bt=bt, acc=dtype,
+    )
+    pad_w = npad - n
+    m = m.astype(x.dtype)
+    if pad_w:
+        m = jnp.pad(m, ((0, pad_w), (0, 0)))
+    ysq_rows = nb if need_ysq else 1
+    ysq_dim1 = npad if need_ysq else 1
+
+    def stat_idx(i, p):
+        return (i, p, 0)
+
+    ll, ysq = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_blocks),
+        in_specs=[
+            pl.BlockSpec((nb, n), lambda i, p: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, bt), lambda i, p: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nb, 1), stat_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, ysq_rows, 1),
+                stat_idx if need_ysq else (lambda i, p: (i, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, npad, 1), dtype),
+            jax.ShapeDtypeStruct((n_tiles, ysq_dim1, 1), dtype),
+        ],
+        interpret=interpret,
+    )(m, x)
+    return (
+        _reduce_partials(ll, dtype)[:n, 0],
+        (_reduce_partials(ysq, dtype)[:n, 0] if need_ysq
          else jnp.zeros((n,), dtype)),
     )
 

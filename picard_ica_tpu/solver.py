@@ -228,16 +228,19 @@ class Picard:
         use_pallas = config.use_pallas
         if use_pallas is None:
             # Fused kernels are the fast path on TPU; elsewhere the XLA
-            # path is both faster and f64-capable. The N limit is the
-            # measured compile boundary of the delta kernel's VMEM
-            # working set (ops/pallas_kernels.max_fused_n); larger fits
-            # route to the XLA path, which GSPMD handles (equally
-            # MXU-bound at those sizes).
-            from .ops.pallas_kernels import max_fused_n
+            # path is both faster and f64-capable. Up to max_fused_n the
+            # resident-W kernels apply; beyond that the kernels dispatch
+            # internally to the streaming-W variant (weights in (128, N)
+            # row blocks, G/H accumulated in VMEM across tile groups) up
+            # to max_streaming_n; larger still routes to the XLA path,
+            # which GSPMD handles (MXU-bound at those sizes; trace
+            # evidence in benchmarks/large_n_trace.py).
+            from .ops.pallas_kernels import max_fused_n, max_streaming_n
 
             use_pallas = (
                 jax.default_backend() == "tpu"
-                and actual_components <= max_fused_n()
+                and actual_components
+                <= max(max_fused_n(), max_streaming_n(need_h=not config.ortho))
             )
 
         opts = CoreOptions(
