@@ -74,7 +74,11 @@ def run_config(n: int, t: int, reps: int, device_substr: str) -> list:
 
     from picard_ica_tpu.models.core import CoreOptions, data_fused_step
     from picard_ica_tpu.ops.densities import Tanh
-    from picard_ica_tpu.ops.pallas_kernels import max_fused_n
+    from picard_ica_tpu.ops.pallas_kernels import (
+        _stream_dims,
+        max_fused_n,
+        max_streaming_n,
+    )
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((n, t)).astype(np.float32))
@@ -86,10 +90,12 @@ def run_config(n: int, t: int, reps: int, device_substr: str) -> list:
     rows = []
     for path in ("xla", "pallas"):
         for mode in ("delta", "plain"):
+            streaming = False
             if path == "pallas":
                 if jax.default_backend() != "tpu":
                     continue
-                if n > max_fused_n(absolute_ll=(mode == "plain")):
+                streaming = n > max_fused_n(absolute_ll=(mode == "plain"))
+                if streaming and n > max_streaming_n(need_h=False):
                     continue
             opts = CoreOptions(
                 density=Tanh(), ortho=True, extended=True, has_cov=True,
@@ -112,12 +118,29 @@ def run_config(n: int, t: int, reps: int, device_substr: str) -> list:
             achieved = gemm_flops / (ms * 1e-3)
             # minimum HBM traffic: pallas streams X once; the XLA path
             # reads X per rotate GEMM and materializes/rereads Y-sized
-            # intermediates (delta: y_old, dy write + read for psi/g)
+            # intermediates (delta: y_old, dy write + read for psi/g).
+            # The streaming-W variant additionally re-reads the weight
+            # row blocks per x tile and emits grouped G partials.
             x_bytes = 4.0 * n * t
-            hbm_bytes = x_bytes if path == "pallas" else (
-                (2 + 4) * x_bytes if mode == "delta" else 3 * x_bytes)
+            if path == "pallas":
+                hbm_bytes = x_bytes
+                if streaming:
+                    bt, npad = _stream_dims(
+                        n, t, need_h=False,
+                        absolute_ll=(mode == "plain"))
+                    n_tiles = -(-t // bt)
+                    n_w = 1 if mode == "plain" else 2
+                    hbm_bytes += (
+                        n_w * 4.0 * npad * n * n_tiles       # W stream
+                        + 4.0 * npad * npad * -(-n_tiles // 16) * 2
+                    )                                         # G partials
+            else:
+                hbm_bytes = (
+                    (2 + 4) * x_bytes if mode == "delta" else 3 * x_bytes)
             rows.append({
-                "n": n, "t": t, "path": path, "mode": mode,
+                "n": n, "t": t,
+                "path": "pallas-stream" if streaming else path,
+                "mode": mode,
                 "device_ms_per_call": ms,
                 "gemm_tflops_achieved": achieved / 1e12,
                 "frac_of_highest_peak": achieved / PEAK_HIGHEST,
@@ -127,7 +150,7 @@ def run_config(n: int, t: int, reps: int, device_substr: str) -> list:
             })
             r = rows[-1]
             print(
-                f"N={n} T={t} {path}/{mode}: {ms:8.2f} ms/call  "
+                f"N={n} T={t} {r['path']}/{mode}: {ms:8.2f} ms/call  "
                 f"{r['gemm_tflops_achieved']:6.2f} TF/s "
                 f"({r['frac_of_highest_peak']*100:5.1f}% of HIGHEST peak; "
                 f"rooflines mxu {r['mxu_roofline_ms']:.2f} / "
