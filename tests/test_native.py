@@ -276,3 +276,38 @@ def test_oracle_nonortho_per_iteration_trace_lockstep(fixture):
             np.testing.assert_array_equal(
                 res_o["signs"], np.asarray(res_j.signs)
             )
+
+
+def test_oracle_random_init_full_pipeline_conformance():
+    """Full-pipeline parity at a RANDOM init: the solver's random
+    w_init now draws the reference stream (utils/reference_rng,
+    solver.rs:112-120), so a seeded fit can be checked against the
+    oracle running from the SAME draw — previously conformance tests
+    had to sidestep the random path with w_init=I."""
+    from picard_ica_tpu import Picard, PicardConfig
+    from picard_ica_tpu.ops.linalg import sym_decorrelation_with_mineig
+    from picard_ica_tpu.utils.reference_rng import normal_matrix
+
+    n, t, seed = 8, 16384, 123
+    x = generate_bench_data(n, t, seed=17)
+
+    res = Picard.fit(
+        np.asarray(x, np.float64), PicardConfig(random_state=seed)
+    )
+    assert bool(res.converged)
+    ours_full = np.asarray(res.full_unmixing())
+
+    xc, _ = native.oracle_center(np.asarray(x, np.float64))
+    xw, k = native.oracle_whiten(xc, n)
+    w0, _ = sym_decorrelation_with_mineig(jnp.asarray(normal_matrix(seed, n, n)))
+    w0 = np.asarray(w0)
+    res_o = native.oracle_core(w0 @ xw, np.eye(n), max_iter=500, tol=1e-7)
+    assert res_o["converged"]
+    oracle_full = res_o["w"] @ w0 @ k
+
+    amari = amari_distance(oracle_full, np.linalg.inv(ours_full))
+    # Whitening runs independently on each side (eigh vs cyclic
+    # Jacobi) yet the observed agreement is exact (amari == 0.0,
+    # identical 14-iteration trajectories); 1e-9 leaves platform slack.
+    assert amari < 1e-9, f"random-init pipeline mismatch: amari={amari}"
+    assert res_o["n_iterations"] == int(res.n_iterations)
