@@ -397,6 +397,103 @@ def row_sums(x, interpret: bool = False):
     return _reduce_partials(out, dtype)[:, 0]
 
 
+_COV_GROUP = 16  # x-tiles accumulated per grouped covariance partial
+_COV_RESIDENT_MAX_N = 512  # verified per-tile-partials cap (v5e)
+
+
+def _cov_bt(n: int) -> int:
+    """T-tile for the grouped covariance kernels (N > 512): VMEM holds
+    the double-buffered x tile, the (N, N) accumulator block and the
+    dot temporaries."""
+    avail = _VMEM_BUDGET - n * n * 4
+    if avail <= 0:
+        return 0
+    return min(2048, avail // (3 * n * 4)) // 128 * 128
+
+
+def max_pallas_cov_n() -> int:
+    """Largest N the grouped covariance kernel's VMEM model admits —
+    whitening's accurate-path routing threshold (beyond it the TPU
+    covariance falls to a single f32 dot, with an AccuracyWarning)."""
+    n = _COV_RESIDENT_MAX_N
+    while _cov_bt(n + 128) >= 128:
+        n += 128
+    return n
+
+
+def _grouped_cov_kernel(x_ref, out_ref, *, t, bt, group, acc, mean_ref=None):
+    i = pl.program_id(0)
+
+    @pl.when(i % group == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    x_t = x_ref[...]
+    if mean_ref is not None:
+        # Center BEFORE masking: padding lanes must contribute exactly
+        # 0 to the partial, not (-mean)^2.
+        x_t = x_t - mean_ref[...]
+    if t % bt != 0:
+        x_t = jnp.where(_mask_cols(i, bt, t, x_t.shape), x_t, 0.0)
+    out_ref[0] += jax.lax.dot_general(
+        x_t, x_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=acc, precision=_HI,
+    )
+
+
+def _grouped_covariance(x, mean, interpret: bool):
+    """``(X - mean)(X - mean)^T`` (or plain ``X X^T`` when mean is
+    None) via group-shared VMEM accumulators — the same contiguous
+    output-revisit pattern as the streaming fused kernel, extending
+    the accurate (non-single-dot) covariance past the per-tile
+    kernels' N=512 cap. Error: `group`-deep f32 adds inside a group +
+    pairwise fold across groups (vs pure per-tile + pairwise below the
+    cap; both are orders of magnitude below the single dot's
+    ~sqrt(T)*eps that the whitening eigengap analysis rules out)."""
+    n, t = x.shape
+    dtype = x.dtype
+    bt = _cov_bt(n)
+    if bt < 128:
+        raise ValueError(
+            f"N={n} exceeds the grouped covariance VMEM model "
+            f"(max_pallas_cov_n() = {max_pallas_cov_n()})"
+        )
+    if t <= 512:
+        bt = max(128, -(-t // 128) * 128)
+    n_tiles = pl.cdiv(t, bt)
+    group = min(_COV_GROUP, n_tiles)
+    n_groups = pl.cdiv(n_tiles, group)
+
+    centered = mean is not None
+    kernel = functools.partial(
+        _grouped_cov_kernel, t=t, bt=bt, group=group, acc=dtype,
+    )
+    if centered:
+        base = kernel
+
+        def kernel(mean_ref, x_ref, out_ref):
+            base(x_ref, out_ref, mean_ref=mean_ref)
+
+    in_specs = ([pl.BlockSpec((n, 1), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)] if centered else []) + [
+        pl.BlockSpec((n, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    operands = (
+        (mean.astype(dtype).reshape(n, 1), x) if centered else (x,)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, n, n), lambda i: (i // group, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_groups, n, n), dtype),
+        interpret=interpret,
+    )(*operands)
+    return _reduce_partials(out, dtype)
+
+
 def _covariance_kernel(x_ref, out_ref, *, t, bt, acc):
     i = pl.program_id(0)
     x_t = x_ref[...]
@@ -435,6 +532,8 @@ def covariance_sums(x, interpret: bool = False):
     compiler.
     """
     n, t = x.shape
+    if n > _COV_RESIDENT_MAX_N:
+        return _grouped_covariance(x, None, interpret)
     bt = _tile_t(n, t)
     n_tiles = pl.cdiv(t, bt)
     dtype = x.dtype
@@ -465,6 +564,8 @@ def centered_covariance_sums(x, mean, interpret: bool = False):
     costs an extra N x T write + read).
     """
     n, t = x.shape
+    if n > _COV_RESIDENT_MAX_N:
+        return _grouped_covariance(x, mean, interpret)
     bt = _tile_t(n, t)
     n_tiles = pl.cdiv(t, bt)
     dtype = x.dtype

@@ -235,8 +235,11 @@ def _cov_impl_for(x) -> str:
     * TPU, N <= 512: Pallas tile partials + tree fold — same accuracy
       design, compiles in seconds (the XLA chunked forms take minutes
       on this environment's remote compiler).
-    * TPU, N > 512: beyond the Pallas VMEM limit the chunked XLA scan
-      compiles pathologically slowly, so accept the single-dot
+    * TPU, 512 < N <= max_pallas_cov_n (~1664 by the VMEM model): the
+      grouped-accumulator Pallas kernel (group-shared VMEM partials;
+      pallas_kernels._grouped_covariance) keeps the chunked accuracy.
+    * TPU, larger N: the chunked XLA scan compiles pathologically
+      slowly on this environment, so accept the single-dot
       ~sqrt(T)*eps accumulation (surfaced via an AccuracyWarning at
       the call site).
     """
@@ -246,7 +249,9 @@ def _cov_impl_for(x) -> str:
     if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1:
         return "dot"
     if jax.default_backend() == "tpu":
-        return "pallas" if n <= 512 else "dot"
+        from .pallas_kernels import max_pallas_cov_n
+
+        return "pallas" if n <= max_pallas_cov_n() else "dot"
     return "chunked"
 
 
@@ -287,10 +292,12 @@ def _warn_if_lossy_cov(x, impl: str) -> None:
         import warnings
 
         from ..errors import AccuracyWarning
+        from .pallas_kernels import max_pallas_cov_n
 
         warnings.warn(
-            f"TPU covariance for n_features={n} > 512 exceeds the chunked "
-            f"Pallas kernel's VMEM limit and falls back to a single f32 "
+            f"TPU covariance for n_features={n} > {max_pallas_cov_n()} "
+            f"exceeds the grouped Pallas kernel's VMEM limit and falls "
+            f"back to a single f32 "
             f"accumulation (~{np.sqrt(t) * 1.2e-7:.1e} relative error at "
             f"T={t}); whitening eigenvectors amplify this by 1/eigengap. "
             f"For full accuracy pass f64 host data (whiten_precision='f64').",

@@ -182,27 +182,34 @@ def test_center_whiten_matches_separate_pipeline():
 
 
 def test_tpu_large_n_covariance_fallback_warns(monkeypatch):
-    """N > 512 f32 data on the TPU backend falls back to a single-dot
-    covariance — a user-visible AccuracyWarning must say so (VERDICT r2
-    weak #3: the fallback was silent)."""
+    """Beyond max_pallas_cov_n, f32 data on the TPU backend falls back
+    to a single-dot covariance — a user-visible AccuracyWarning must
+    say so (VERDICT r2 weak #3: the fallback was silent). N in
+    (512, max_pallas_cov_n] now routes to the GROUPED Pallas kernel
+    instead of falling back at all (round 3)."""
     import jax
 
     from picard_ica_tpu.errors import AccuracyWarning
+    from picard_ica_tpu.ops.pallas_kernels import max_pallas_cov_n
     from picard_ica_tpu.ops.whitening import _cov_impl_for, whiten
 
     rng = np.random.default_rng(31)
-    x = jnp.asarray(rng.standard_normal((520, 4096)).astype(np.float32))
+    n_big = max_pallas_cov_n() + 128
+    x = jnp.asarray(rng.standard_normal((n_big, 4096)).astype(np.float32))
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert _cov_impl_for(x) == "dot"
-    with pytest.warns(AccuracyWarning, match="512"):
-        whiten(x, 520)
-    # Below the threshold: no warning (Pallas path).
+    with pytest.warns(AccuracyWarning, match=str(max_pallas_cov_n())):
+        whiten(x, n_big)
+    # Mid-range N: grouped Pallas path, no warning.
+    x_mid = jnp.asarray(rng.standard_normal((520, 4096)).astype(np.float32))
+    assert _cov_impl_for(x_mid) == "pallas"
     x_small = jnp.asarray(rng.standard_normal((8, 4096)).astype(np.float32))
     assert _cov_impl_for(x_small) == "pallas"
 
 
 def test_f32_single_dot_covariance_rotates_k():
-    """QUANTIFIES the N > 512 fallback the warning above surfaces: a
+    """QUANTIFIES the beyond-the-cap fallback the warning above
+    surfaces: a
     single-dot f32 covariance (~sqrt(T)*eps accumulation) rotates K by
     orders of magnitude more than the chunked/pairwise design, because
     random large-N mixtures have near-degenerate eigenvalues (relative
@@ -256,3 +263,43 @@ def test_nan_data_whitening_raises_computation_error():
     x = np.full((4, 1000), np.nan, dtype=np.float32)
     with pytest.raises(ComputationError, match="non-finite"):
         whiten(jnp.asarray(x), 4)
+
+
+@pytest.mark.parametrize("centered", [False, True])
+def test_grouped_covariance_matches_dense(centered, monkeypatch):
+    """The grouped-accumulator covariance (N > 512 TPU path) must match
+    the dense formulation, across group boundaries and partial tiles."""
+    from picard_ica_tpu.ops import pallas_kernels as pk
+
+    monkeypatch.setattr(pk, "_COV_GROUP", 2)
+    rng = np.random.default_rng(7)
+    n, t = 40, 9001  # bt=2048 -> 5 tiles -> 3 groups; partial last tile
+    x = jnp.asarray(rng.standard_normal((n, t)))
+    mean = jnp.asarray(rng.standard_normal(n)) if centered else None
+    out = pk._grouped_covariance(x, mean, interpret=True)
+    xc = np.asarray(x) - (np.asarray(mean)[:, None] if centered else 0.0)
+    np.testing.assert_allclose(np.asarray(out), xc @ xc.T,
+                               rtol=1e-12, atol=1e-9)
+
+
+def test_covariance_wrappers_dispatch_grouped():
+    """covariance_sums / centered_covariance_sums route N > 512 to the
+    grouped kernel transparently."""
+    from picard_ica_tpu.ops.pallas_kernels import (
+        centered_covariance_sums,
+        covariance_sums,
+    )
+
+    rng = np.random.default_rng(8)
+    n, t = 520, 700
+    x = jnp.asarray(rng.standard_normal((n, t)))
+    np.testing.assert_allclose(
+        np.asarray(covariance_sums(x, interpret=True)),
+        np.asarray(x) @ np.asarray(x).T, rtol=1e-12, atol=1e-8,
+    )
+    mean = jnp.asarray(rng.standard_normal(n))
+    xc = np.asarray(x) - np.asarray(mean)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(centered_covariance_sums(x, mean, interpret=True)),
+        xc @ xc.T, rtol=1e-12, atol=1e-8,
+    )
