@@ -956,6 +956,12 @@ def streaming_fused_sums(
     kernels' VMEM cap (see :func:`_stream_dims`); same return tuple."""
     n, t = x.shape
     dtype = _acc_dtype(x)
+    if x.dtype == jnp.bfloat16 and precision == "f32":
+        # Mirror the resident kernels: Mosaic rejects HIGHEST on bf16
+        # operands, and a multi-pass split of bf16 is meaningless —
+        # bf16 X (the cheap tier's halved-HBM copy) always takes the
+        # native single-pass matmul with f32 accumulation.
+        precision = "bf16"
     elem = jnp.dtype(x.dtype).itemsize
     bt, npad = _stream_dims(n, t, need_h, absolute_ll, elem)
     if bt < 128:
@@ -1085,8 +1091,15 @@ def streaming_loglik_sums(
     immaterial."""
     n, t = x.shape
     dtype = _acc_dtype(x)
-    bt, npad = _stream_dims(n, t, need_h=False, absolute_ll=True,
-                            elem_bytes=jnp.dtype(x.dtype).itemsize)
+    npad = -(-n // _STREAM_NB) * _STREAM_NB
+    elem = jnp.dtype(x.dtype).itemsize
+    # No N x N accumulators here — only the M row block, the x tile
+    # and three (128, bt) intermediates bound the budget.
+    avail = _VMEM_BUDGET - 2 * _STREAM_NB * n * elem
+    bt = min(2048, max(avail, 0) // (2 * n * elem + 3 * _STREAM_NB * 4))
+    bt = bt // 128 * 128
+    if bt < 128:
+        raise ValueError(f"N={n} exceeds the streaming log-lik VMEM model")
     if t <= 512:
         bt = max(128, -(-t // 128) * 128)
     n_blocks = npad // _STREAM_NB

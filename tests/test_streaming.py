@@ -171,3 +171,37 @@ def test_stream_caps():
     bt_over, _ = pk._stream_dims(cap_g + 128, 10**6, need_h=False,
                                  absolute_ll=False)
     assert bt_over < 128
+
+
+def test_streaming_accepts_bf16_x():
+    """bf16 X through the streaming kernel: the f32-precision request
+    coerces to the single-pass bf16 matmul (Mosaic rejects HIGHEST on
+    bf16 operands), outputs stay f32, values match to bf16 rounding."""
+    n, t = 40, 700
+    rng = np.random.default_rng(12)
+    m_old = jnp.asarray(np.eye(n, dtype=np.float32))
+    m_new = m_old + jnp.asarray(
+        0.05 * rng.standard_normal((n, n)).astype(np.float32))
+    x32 = jnp.asarray(rng.standard_normal((n, t)).astype(np.float32))
+    x16 = x32.astype(jnp.bfloat16)
+
+    # Plain mode IS the production bf16 tier (cheap-tier plain accepts);
+    # compare values there, where no small-delta amplification applies.
+    out32 = streaming_fused_sums(m_new, m_old, x32, Tanh(), True, True,
+                                 interpret=True, precision="bf16",
+                                 absolute_ll=True)
+    out16 = streaming_fused_sums(m_new, m_old, x16, Tanh(), True, True,
+                                 interpret=True, precision="f32",  # coerced
+                                 absolute_ll=True)
+    for a, b in zip(out32, out16):
+        assert b.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-2, atol=3e-2)
+    # Delta mode with bf16 X: the coercion must hold there too (no
+    # HIGHEST-on-bf16 request); values are dominated by the bf16
+    # rounding of X itself, so only finiteness is asserted.
+    out_delta = streaming_fused_sums(m_new, m_old, x16, Tanh(), True, True,
+                                     interpret=True, precision="f32")
+    for b in out_delta:
+        assert b.dtype == jnp.float32
+        assert np.all(np.isfinite(np.asarray(b)))
