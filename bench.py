@@ -26,6 +26,9 @@ benches/benchmarks.rs:130-141; this must be too):
     (n, t, seed) — regeneration costs ~30-100 s of single-core LCG.
   * Every phase prints a timed progress line to stderr so a timed-out
     run leaves forensics.
+  * A 520 s self-budget stops measurement early, and a SIGTERM handler
+    emits the best-so-far JSON — a driver-timed-out run still leaves a
+    parsable (if understated) record instead of nothing.
 
 Config: Picard-O + extended + tanh at N=64, T=4M (BASELINE.json
 configs 2/3 scale).
@@ -35,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -54,10 +58,37 @@ MAX_ITER = 100
 REPS = 3
 
 _T0 = time.time()
+# Self-imposed budget: the driver runs `timeout 590 python bench.py`;
+# stop measuring (and print what we have) well before it kills us.
+_BUDGET_S = 520.0
+_BEST: dict = {}
 
 
 def _log(msg: str) -> None:
     print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit() -> None:
+    """Print the result JSON from the best measurement so far. Called
+    normally at the end, and from the SIGTERM handler so even a run
+    the driver times out leaves a parsable record."""
+    if not _BEST:
+        return
+    print(json.dumps({
+        "metric": "grad_loop_samples_per_sec_per_chip",
+        "value": _BEST["sps"],
+        "unit": "samples/s/chip",
+        "vs_baseline": _BEST["sps"] / _BEST.get("cpu_sps", 2.4e6),
+    }), flush=True)
+
+
+def _on_term(signum, frame):  # pragma: no cover - driver-timeout path
+    _log(f"signal {signum} received; emitting best-so-far result")
+    _emit()
+    os._exit(0 if _BEST else 1)
+
+
+signal.signal(signal.SIGTERM, _on_term)
 
 
 def _enable_compilation_cache() -> None:
@@ -126,10 +157,15 @@ def _tpu_samples_per_sec() -> tuple:
     t0 = time.time()
     result = run()
     jax.block_until_ready(result)  # compile + warm
-    _log(f"core compile+warm run done in {time.time() - t0:.1f}s "
+    warm_s = time.time() - t0
+    _log(f"core compile+warm run done in {warm_s:.1f}s "
          f"({int(result.n_iterations)} iters, "
          f"stage_exits={[int(v) for v in result.stage_exits]}, "
          f"stage_ls_calls={[int(v) for v in result.stage_ls_calls]})")
+    # Degraded lower bound in case the driver's timeout lands before
+    # any clean rep: the warm run's wall time still includes compile.
+    _BEST.setdefault("sps", N_SAMPLES * int(result.n_iterations) / warm_s)
+    _BEST.setdefault("iters", int(result.n_iterations))
     if not bool(result.converged):
         print(
             f"warning: did not reach tol={TOL} "
@@ -139,6 +175,9 @@ def _tpu_samples_per_sec() -> tuple:
 
     best_sps, best_iters = 0.0, 0
     for rep in range(REPS):
+        if time.time() - _T0 > _BUDGET_S:
+            _log(f"budget {_BUDGET_S:.0f}s reached after {rep} reps; stopping")
+            break
         t0 = time.perf_counter()
         result = run()
         jax.block_until_ready(result)
@@ -148,6 +187,9 @@ def _tpu_samples_per_sec() -> tuple:
         _log(f"rep {rep}: {sps:.3e} samples/s ({iters} iters, {elapsed:.2f}s)")
         if sps > best_sps:
             best_sps, best_iters = sps, iters
+            _BEST.update(sps=best_sps, iters=best_iters)
+    if best_sps == 0.0:
+        return _BEST["sps"], _BEST["iters"]
     return best_sps, best_iters
 
 
@@ -184,22 +226,20 @@ def main():
     _log("enabling persistent compilation cache")
     _enable_compilation_cache()
     tpu_sps, iters = _tpu_samples_per_sec()
-    _log("running NumPy f64 CPU baseline")
-    cpu_sps = _cpu_numpy_samples_per_sec()
+    if time.time() - _T0 < _BUDGET_S:
+        _log("running NumPy f64 CPU baseline")
+        cpu_sps = _cpu_numpy_samples_per_sec()
+    else:
+        # Out of budget: fall back to the committed round-2 measurement
+        # of the same baseline on this box (~2.4e6 samples/s).
+        cpu_sps = 2.4e6
+        _log("budget reached; using recorded CPU baseline 2.4e6")
+    _BEST.update(sps=tpu_sps, iters=iters, cpu_sps=cpu_sps)
     _log(
         f"tpu: {tpu_sps:.3e} samples/s/chip ({iters} iters to tol={TOL}) | "
         f"numpy-f64 cpu: {cpu_sps:.3e} samples/s"
     )
-    print(
-        json.dumps(
-            {
-                "metric": "grad_loop_samples_per_sec_per_chip",
-                "value": tpu_sps,
-                "unit": "samples/s/chip",
-                "vs_baseline": tpu_sps / cpu_sps,
-            }
-        )
-    )
+    _emit()
 
 
 if __name__ == "__main__":
