@@ -205,3 +205,21 @@ def test_streaming_accepts_bf16_x():
     for b in out_delta:
         assert b.dtype == jnp.float32
         assert np.all(np.isfinite(np.asarray(b)))
+
+
+def test_sharded_streaming_matches_single(monkeypatch, eight_device_mesh):
+    """The streaming kernels inside the shard_map sample-sharding path
+    (multi-chip fused step) == single device, on the 8-device CPU
+    mesh."""
+    monkeypatch.setattr(pk, "max_fused_n", lambda absolute_ll=False: 4)
+    from picard_ica_tpu import Picard, PicardConfig
+    from picard_ica_tpu.utils import generate_test_data
+
+    _, a, x = generate_test_data(6, 4800, 21)  # unique shape (jit cache)
+    cfg = PicardConfig(random_state=5, use_pallas=True, tol=1e-6)
+    r_single = Picard.fit(x, cfg)
+    r_mesh = Picard.fit(x, cfg, mesh=eight_device_mesh)
+    assert r_mesh.converged
+    np.testing.assert_allclose(
+        np.asarray(r_single.unmixing), np.asarray(r_mesh.unmixing), atol=1e-5
+    )
