@@ -174,8 +174,8 @@ def _stream_dims(n: int, t: int, need_h: bool, absolute_ll: bool,
     weights stream through VMEM as (128, N) row blocks and the only
     N-sized residents are the Y scratch (npad x bt), the contraction
     temporaries and the G/H accumulator blocks (npad^2 each) — which is
-    what lifts the fused-kernel N cap from 512 to ~1024 (non-ortho) /
-    ~1664 (ortho, G only).
+    what lifts the fused-kernel N cap from 512 to 896 (non-ortho,
+    G + H resident) / 1152 (ortho, G only) under this VMEM model.
     """
     npad = -(-n // _STREAM_NB) * _STREAM_NB
     acc_outs = (2 if need_h else 1) * npad * npad * 4

@@ -235,7 +235,7 @@ def _cov_impl_for(x) -> str:
     * TPU, N <= 512: Pallas tile partials + tree fold — same accuracy
       design, compiles in seconds (the XLA chunked forms take minutes
       on this environment's remote compiler).
-    * TPU, 512 < N <= max_pallas_cov_n (~1664 by the VMEM model): the
+    * TPU, 512 < N <= max_pallas_cov_n (1536 by the VMEM model): the
       grouped-accumulator Pallas kernel (group-shared VMEM partials;
       pallas_kernels._grouped_covariance) keeps the chunked accuracy.
     * TPU, larger N: the chunked XLA scan compiles pathologically
