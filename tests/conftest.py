@@ -20,6 +20,16 @@ import jax  # noqa: E402
 # wins over shell exports; the in-process config update is authoritative.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the suite's ~200 CPU executables cost
+# minutes of XLA compile per run on this box's single core; cached
+# reruns skip almost all of it. Gitignored; safe to delete any time.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_tests"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
