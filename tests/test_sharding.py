@@ -232,3 +232,24 @@ def test_accept_psum_separate_from_moments(eight_device_mesh):
     assert all(len(sl) <= 4 for sl in shape_lists), (
         f"accept-path psum merged with the moment psums: {shape_lists}"
     )
+
+
+def test_graft_dryrun_multichip_8_devices():
+    """The driver's exact invocation: ``dryrun_multichip(8)`` in a fresh
+    process (x64 OFF, unlike this suite). Guards the full sharded
+    pipeline — whiten + JADE + staged core — converging to the same
+    fixed point as the unsharded fit at the driver's device count; an
+    unconverged comparison forks with psum reduction order (the 8-device
+    regression this test pins)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "__graft_entry__.py"), "dryrun", "8"],
+        capture_output=True, text=True, timeout=420, cwd=repo,
+    )
+    assert proc.returncode == 0, (
+        f"dryrun_multichip(8) failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
