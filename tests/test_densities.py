@@ -147,3 +147,50 @@ def test_score_der_loglik_delta_consistent():
             np.asarray(dll_f), np.asarray(den.log_lik_delta(y0, dy)),
             rtol=1e-12, atol=1e-14,
         )
+
+
+def test_tanh_f32_native_delta_accuracy_vs_f64():
+    """The f32 delta form (native tanh + back-derived e_a; only taken
+    for f32 inputs, densities._TANH_NATIVE_DELTA) must track the exact
+    f64 form at f32 grade: psi/psi' to a few ULP, dll within the
+    documented ~1e-6 relative-to-scale bound, with NO outliers in the
+    large-|t| branch where e_a is back-derived from tanh."""
+    import numpy as np
+
+    from picard_ica_tpu.ops.densities import Tanh
+
+    rng = np.random.default_rng(7)
+    # Wide dynamic range incl. the crossing and large-step branches.
+    y0 = np.concatenate([
+        rng.standard_normal(4096) * 3,
+        rng.standard_normal(256) * 30,       # saturated tanh region
+        rng.uniform(-0.05, 0.05, 256),       # near-zero lanes
+    ])
+    dy = np.concatenate([
+        rng.standard_normal(4096) * 0.3,
+        -y0[4096:4352] * rng.uniform(0.9, 1.6, 256),  # sign crossings
+        rng.standard_normal(256) * 0.01,
+    ])
+    for den in [Tanh(), Tanh(0.7)]:
+        p64, d64, ll64 = den.score_der_loglik_delta(
+            jnp.asarray(y0[None], jnp.float64), jnp.asarray(dy[None], jnp.float64)
+        )
+        p32, d32, ll32 = den.score_der_loglik_delta(
+            jnp.asarray(y0[None], jnp.float32), jnp.asarray(dy[None], jnp.float32)
+        )
+        # psi/psi' budget: the f32 inputs themselves round (y0 + dy in
+        # f32 before tanh), worth up to a*|y|*eps through the chain —
+        # dominate over the form's own error (exact tanh identity).
+        np.testing.assert_allclose(np.asarray(p32), np.asarray(p64),
+                                   rtol=5e-5, atol=5e-6)
+        np.testing.assert_allclose(np.asarray(d32), np.asarray(d64),
+                                   rtol=5e-5, atol=1e-5)
+        # dll error budget: absolute vs the element's own |dll| + the
+        # f32 rounding of its inputs (|y|, |dy| scale).
+        scale = np.abs(np.asarray(ll64)) + np.abs(y0) * 1e-6 + 1e-6
+        err = np.abs(np.asarray(ll32, np.float64) - np.asarray(ll64))
+        # 2e-4: ~1.5e3 f32 ULP headroom for input rounding through the
+        # cancellation in d_abs + log1p on tiny-|dll| lanes; a FORM
+        # error (wrong branch / bad e_a derivation) shows up orders of
+        # magnitude above this.
+        assert np.max(err / scale) < 2e-4, float(np.max(err / scale))
