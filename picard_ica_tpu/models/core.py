@@ -44,7 +44,7 @@ from jax import lax
 
 from ..ops.densities import Density
 from ..ops.linalg import expm_pow2_chain, matrix_exp, skew_symmetric
-from ..ops.moments import RawMoments
+from ..ops.moments import RawMoments, _row_mean
 
 # Penalty loss for singular/failed evaluations (core.rs:90-96).
 _SINGULAR_LOSS = 1e15
@@ -314,13 +314,13 @@ def data_moments(w, x, opts: CoreOptions, need_h: bool, need_ysq: bool) -> RawMo
     y = _dot(w, x)
     psi, psi_d = opts.density.score_and_der(y)
     g = _dot(psi, y.T) * inv_t
-    pm = jnp.mean(psi_d, axis=1)
+    pm = _row_mean(psi_d)
     if need_h:
         ysq_mat = y * y
         h = _dot(psi_d, ysq_mat.T) * inv_t
     else:
         h = jnp.zeros((n, n), dtype)
-    ysq = jnp.mean(y * y, axis=1) if need_ysq else jnp.zeros((n,), dtype)
+    ysq = _row_mean(y * y) if need_ysq else jnp.zeros((n,), dtype)
     return RawMoments(g, pm, h, ysq)
 
 
@@ -346,8 +346,8 @@ def data_loglik(m, x, opts: CoreOptions, need_ysq: bool):
         return ll * inv_t, ysq * inv_t
 
     y = _dot(m, x)
-    ll = jnp.mean(opts.density.log_lik(y), axis=1)
-    ysq = jnp.mean(y * y, axis=1) if need_ysq else jnp.zeros_like(ll)
+    ll = _row_mean(opts.density.log_lik(y))
+    ysq = _row_mean(y * y) if need_ysq else jnp.zeros_like(ll)
     return ll, ysq
 
 
@@ -397,9 +397,9 @@ def data_fused_step(m_new, m_old, x, opts: CoreOptions, need_h: bool, need_ysq: 
     if opts.plain_ls:
         y_new = _dot(m_new, x)
         psi, psi_d, ll_el = opts.density.score_der_loglik(y_new)
-        dll = jnp.mean(ll_el, axis=1)
+        dll = _row_mean(ll_el)
         dysq = (
-            jnp.mean(y_new * y_new, axis=1) if need_ysq
+            _row_mean(y_new * y_new) if need_ysq
             else jnp.zeros((n,), dtype)
         )
     else:
@@ -407,20 +407,20 @@ def data_fused_step(m_new, m_old, x, opts: CoreOptions, need_h: bool, need_ysq: 
         dy = _dot(m_new - m_old, x)
         y_new = y_old + dy
         psi, psi_d, dll_el = opts.density.score_der_loglik_delta(y_old, dy)
-        dll = jnp.mean(dll_el, axis=1)
+        dll = _row_mean(dll_el)
         dysq = (
-            jnp.mean((2.0 * y_old + dy) * dy, axis=1) if need_ysq
+            _row_mean((2.0 * y_old + dy) * dy) if need_ysq
             else jnp.zeros((n,), dtype)
         )
     g = _dot(psi, y_new.T) * inv_t
-    pm = jnp.mean(psi_d, axis=1)
+    pm = _row_mean(psi_d)
     if need_h:
         ysq_new = y_new * y_new
         h = _dot(psi_d, ysq_new.T) * inv_t
     else:
         h = jnp.zeros((n, n), dtype)
     ysq_new_mean = (
-        jnp.mean(y_new * y_new, axis=1) if need_ysq
+        _row_mean(y_new * y_new) if need_ysq
         else jnp.zeros((n,), dtype)
     )
     return dll, dysq, RawMoments(g, pm, h, ysq_new_mean)

@@ -40,6 +40,24 @@ class RawMoments(NamedTuple):
     ysq_rowmean: jnp.ndarray  # (N,) E[Y^2] per row (zeros when unused)
 
 
+def _row_mean(m):
+    """``mean(m, axis=1)`` shaped for the hardware.
+
+    f32 (the TPU surface): a dot with a ones vector — the reduction
+    rides the MXU like every other contraction here, and it sidesteps
+    this environment's remote-compiler pathology on big standalone
+    row-reduces (the N=1024 XLA-path compile hang the large-N trace
+    harness guards against). f64 (the CPU conformance surface) keeps
+    ``jnp.mean`` — its reduce order is what the oracle-lockstep
+    tolerances were measured against.
+    """
+    if m.dtype == jnp.float64:
+        return jnp.mean(m, axis=1)
+    t = m.shape[1]
+    ones = jnp.ones((t,), m.dtype)
+    return jnp.dot(m, ones, precision=_HI) * m.dtype.type(1.0 / t)
+
+
 def compute_raw_moments_xla(y, density, need_h: bool, need_ysq_mean: bool) -> RawMoments:
     """Reference XLA implementation of the fused moment pass.
 
@@ -53,7 +71,7 @@ def compute_raw_moments_xla(y, density, need_h: bool, need_ysq_mean: bool) -> Ra
 
     psi, psi_d = density.score_and_der(y)
     g_raw = jnp.dot(psi, y.T, precision=_HI) * inv_t
-    pm_raw = jnp.mean(psi_d, axis=1)
+    pm_raw = _row_mean(psi_d)
 
     if need_h:
         ysq = y * y
@@ -62,7 +80,7 @@ def compute_raw_moments_xla(y, density, need_h: bool, need_ysq_mean: bool) -> Ra
         h_raw = jnp.zeros((n, n), dtype)
 
     if need_ysq_mean:
-        ysq_rowmean = jnp.mean(y * y, axis=1)
+        ysq_rowmean = _row_mean(y * y)
     else:
         ysq_rowmean = jnp.zeros((n,), dtype)
 
@@ -75,4 +93,4 @@ def loglik_rowmeans_xla(y, density):
     The density term of the loss (core.rs:73-77) is then
     ``sum(signs * loglik_rowmeans)``.
     """
-    return jnp.mean(density.log_lik(y), axis=1)
+    return _row_mean(density.log_lik(y))
