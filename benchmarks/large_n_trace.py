@@ -190,6 +190,12 @@ def main():
         t0 = time.time()
         rows.extend(run_config(n, t, args.reps, device_substr))
         print(f"config {spec} done in {time.time()-t0:.0f}s", file=sys.stderr)
+        if args.json:
+            # Flush after every config: a remote-compile hang on a later
+            # (bigger) config must not wipe the rows already measured.
+            with open(args.json, "w") as f:
+                json.dump({"backend": jax.default_backend(), "rows": rows}, f,
+                          indent=2)
 
     out = {"backend": jax.default_backend(), "rows": rows}
     if args.json:
