@@ -154,6 +154,63 @@ def group_extended(records, reps):
         print(f"picard_extended ext={extended}: {secs*1e3:.1f} ms", file=sys.stderr)
 
 
+# v5e nominal single-chip ceilings (public spec; shared with
+# benchmarks/large_n_trace.py): the MXU executes one bf16 pass at peak,
+# a split-bf16 dot as 3 passes, an f32 HIGHEST dot as 6.
+_PEAK_BF16 = 197e12
+_HBM_BYTES_PER_S = 8.19e11
+_MXU_PASSES = {"bf16": 1, "bf16x3": 3, "f32": 6, "f64": 6}
+
+
+def _roofline_fracs(rec, res, opts, n, t):
+    """Attach fit-level MFU/roofline columns (VERDICT r2 item 4).
+
+    Model: the mandatory GEMM work of the fit, in bf16-pass
+    equivalents — per fused line-search call, `ops` N x T GEMMs of
+    2*N^2*T flops (delta: rotate y_old + rotate dy + contract G;
+    plain: rotate + contract; +1 H contraction when non-ortho needs
+    it), weighted by the tier's MXU pass count — divided by the
+    measured time and the chip's bf16 peak. The HBM column counts one
+    X read per call (bf16 tier reads the half-width copy); the XLA
+    fallback path is charged its materialized-Y traffic (~6 X-sized
+    transfers per delta call, see benchmarks/large_n_trace.py).
+    Excludes the one-time standalone moment pass and all N x N algebra
+    (a few % at headline scale): this is the COMPUTE floor the fit
+    cannot go below, so the fraction is an upper bound on remaining
+    headroom.
+    """
+    from picard_ica_tpu.models.core import _precision_stages
+
+    cum = getattr(res, "stage_ls_calls", None)
+    if cum is None:
+        return
+    cum = [int(v) for v in np.asarray(cum)]
+    per_stage = [c - p for c, p in zip(cum, [0] + cum[:-1])]
+    stages = [p for p, _ in _precision_stages(opts)]
+    h_ops = 1 if (not opts.ortho) else 0
+    flops = 0.0
+    xbytes = 0.0
+    for idx, (prec, calls) in enumerate(zip(stages, per_stage)):
+        if calls <= 0:
+            continue
+        final = idx == len(stages) - 1
+        plain = opts.use_pallas and prec == "bf16" and not final
+        ops = (2 if plain else 3) + h_ops
+        if not opts.use_pallas:
+            ops = 3 + h_ops  # XLA delta path
+        flops += calls * ops * 2.0 * n * n * t * _MXU_PASSES.get(prec, 6)
+        if opts.use_pallas:
+            xbytes += calls * (2.0 if plain else 4.0) * n * t
+        else:
+            xbytes += calls * 6 * 4.0 * n * t
+    elapsed = rec.get("device_s") or rec["wall_s"]
+    if elapsed <= 0 or flops == 0:
+        return
+    rec["mxu_frac_of_bf16_peak"] = flops / elapsed / _PEAK_BF16
+    rec["hbm_frac_of_peak"] = xbytes / elapsed / _HBM_BYTES_PER_S
+    rec["roofline_model"] = "gemm-only bf16-pass equivalents"
+
+
 def _core_throughput(x_np, n, tol, max_iter, opts_kw, reps):
     """Grad-loop samples/s of the jitted core on whitened data."""
     import jax
@@ -209,6 +266,7 @@ def _core_throughput(x_np, n, tol, max_iter, opts_kw, reps):
             rec["samples_per_s"] = rec["samples_per_s_device"]
         except Exception as e:  # pragma: no cover - trace plumbing
             print(f"device-trace remeasure failed: {e}", file=sys.stderr)
+    _roofline_fracs(rec, res, opts, n, t)
     return rec
 
 
