@@ -22,8 +22,12 @@ benches/benchmarks.rs:130-141; this must be too):
     repo (committed, warmed for the bench shapes) — the axon remote
     compiler honors it, turning the ~2-4 min cold compile of the
     whitening + fused core into sub-second cache reads.
-  * The generated mixture is cached at ``.bench_cache/`` keyed by
-    (n, t, seed) — regeneration costs ~30-100 s of single-core LCG.
+  * The generated mixture AND its whitened form are cached at
+    ``.bench_cache/`` keyed by (n, t, seed) — regeneration costs
+    ~30-100 s of single-core LCG, and a whitened-cache hit skips the
+    device center+whiten entirely (its ~2 min cold compile is the
+    single largest cold-start cost after the core itself; the metric
+    times only the core loop, so pre-whitened input is equivalent).
   * Every phase prints a timed progress line to stderr so a timed-out
     run leaves forensics.
   * A 520 s self-budget stops measurement early, and a SIGTERM handler
@@ -138,12 +142,29 @@ def _tpu_samples_per_sec() -> tuple:
     from picard_ica_tpu.ops.densities import Tanh
     from picard_ica_tpu.ops.whitening import center_whiten
 
-    x = _bench_mixture()
-    _log(f"devices: {jax.devices()}")
-    t0 = time.time()
-    xw, _, _ = center_whiten(jnp.asarray(x), N_COMPONENTS)
-    np.asarray(xw[:1, :1])  # real sync (block_until_ready returns early here)
-    _log(f"center+whiten done in {time.time() - t0:.1f}s")
+    cache_dir = os.path.join(_REPO, ".bench_cache")
+    wpath = os.path.join(
+        cache_dir, f"whitened_{N_COMPONENTS}x{N_SAMPLES}_s42.f32.npy")
+    if os.path.exists(wpath):
+        _log(f"whiten: loading cached whitened data {wpath}")
+        xw = jnp.asarray(np.load(wpath))
+        _log(f"devices: {jax.devices()}")
+    else:
+        x = _bench_mixture()
+        _log(f"devices: {jax.devices()}")
+        t0 = time.time()
+        xw, _, _ = center_whiten(jnp.asarray(x), N_COMPONENTS)
+        np.asarray(xw[:1, :1])  # real sync (block_until_ready lies here)
+        _log(f"center+whiten done in {time.time() - t0:.1f}s")
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = wpath + ".tmp"
+            with open(tmp, "wb") as f:
+                np.save(f, np.asarray(xw))
+            os.replace(tmp, wpath)
+            _log("whiten: cached whitened data for future cold runs")
+        except OSError as e:
+            _log(f"whiten: cache write failed ({e}); continuing uncached")
 
     opts = CoreOptions(
         density=Tanh(), ortho=True, extended=True, has_cov=True, m=7, ls_tries=10,
