@@ -43,11 +43,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# v5e nominal per-chip peaks (public spec); the MXU executes an
-# f32 HIGHEST dot as 6 bf16 passes and bf16x3 as 3.
-PEAK_BF16 = 197e12
-PEAK_HIGHEST = PEAK_BF16 / 6.0
-HBM_BYTES_PER_S = 8.19e11
+from benchmarks.roofline import (  # noqa: E402 - after sys.path insert
+    HBM_BYTES_PER_S,
+    PEAK_BF16,
+    PEAK_HIGHEST,
+)
 
 
 def _measure(fn, args, reps: int, device_substr: str) -> float:
@@ -126,7 +126,7 @@ def run_config(n: int, t: int, reps: int, device_substr: str) -> list:
                 hbm_bytes = x_bytes
                 if streaming:
                     bt, npad = _stream_dims(
-                        n, t, need_h=False,
+                        n, need_h=False,
                         absolute_ll=(mode == "plain"))
                     n_tiles = -(-t // bt)
                     n_w = 1 if mode == "plain" else 2

@@ -154,12 +154,11 @@ def group_extended(records, reps):
         print(f"picard_extended ext={extended}: {secs*1e3:.1f} ms", file=sys.stderr)
 
 
-# v5e nominal single-chip ceilings (public spec; shared with
-# benchmarks/large_n_trace.py): the MXU executes one bf16 pass at peak,
-# a split-bf16 dot as 3 passes, an f32 HIGHEST dot as 6.
-_PEAK_BF16 = 197e12
-_HBM_BYTES_PER_S = 8.19e11
-_MXU_PASSES = {"bf16": 1, "bf16x3": 3, "f32": 6, "f64": 6}
+from benchmarks.roofline import (  # noqa: E402 - after sys.path insert
+    HBM_BYTES_PER_S as _HBM_BYTES_PER_S,
+    MXU_PASSES as _MXU_PASSES,
+    PEAK_BF16 as _PEAK_BF16,
+)
 
 
 def _roofline_fracs(rec, res, opts, n, t):
@@ -179,8 +178,12 @@ def _roofline_fracs(rec, res, opts, n, t):
     cannot go below, so the fraction is an upper bound on remaining
     headroom.
     """
+    import jax
+
     from picard_ica_tpu.models.core import _precision_stages
 
+    if jax.default_backend() != "tpu":
+        return  # the peaks are v5e numbers; CPU fractions are noise
     cum = getattr(res, "stage_ls_calls", None)
     if cum is None:
         return
@@ -586,9 +589,16 @@ def cold_check() -> int:
     stamps = {}
     for m in re.finditer(r"\[bench \+\s*([0-9.]+)s\] (\S+)", proc.stderr):
         stamps.setdefault(m.group(2).rstrip(":"), float(m.group(1)))
+    datagen_end = next((v for k, v in stamps.items() if k == "devices"), None)
+    whiten_end = stamps.get("center+whiten")
+    if whiten_end is None and "loading cached whitened data" in proc.stderr:
+        # Whitened-cache hit: no device whiten ran this process (the
+        # load time is inside the datagen..devices span), so the
+        # whiten phase is legitimately zero-duration.
+        whiten_end = datagen_end
     phase_ends = {
-        "datagen": next((v for k, v in stamps.items() if k == "devices"), None),
-        "whiten": stamps.get("center+whiten"),
+        "datagen": datagen_end,
+        "whiten": whiten_end,
         "core": stamps.get("core"),
     }
     prev = 0.0

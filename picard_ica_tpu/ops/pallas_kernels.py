@@ -165,7 +165,7 @@ _STREAM_NB = 128  # W row-block height (one MXU tile of output rows)
 _STREAM_GROUP = 16  # x-tiles accumulated per G/H output partial
 
 
-def _stream_dims(n: int, t: int, need_h: bool, absolute_ll: bool,
+def _stream_dims(n: int, need_h: bool, absolute_ll: bool,
                  elem_bytes: int = 4) -> tuple:
     """(bt, npad) for the streaming large-N kernel, or bt=0 if even the
     minimum 128-lane tile busts the VMEM budget.
@@ -199,7 +199,7 @@ def max_streaming_n(need_h: bool = True) -> int:
     n = _STREAM_NB
     best = 0
     while True:
-        bt, _ = _stream_dims(n, 10**9, need_h, absolute_ll=False)
+        bt, _ = _stream_dims(n, need_h, absolute_ll=False)
         if bt < 128:
             return best
         best = n
@@ -963,7 +963,7 @@ def streaming_fused_sums(
         # native single-pass matmul with f32 accumulation.
         precision = "bf16"
     elem = jnp.dtype(x.dtype).itemsize
-    bt, npad = _stream_dims(n, t, need_h, absolute_ll, elem)
+    bt, npad = _stream_dims(n, need_h, absolute_ll, elem)
     if bt < 128:
         raise ValueError(
             f"N={n} exceeds the streaming kernel's VMEM model "

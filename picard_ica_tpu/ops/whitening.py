@@ -286,13 +286,19 @@ def _warn_if_lossy_cov(x, impl: str) -> None:
         impl == "dot"
         and x.dtype == jnp.float32
         and t > 2048
-        and n > 512
         and jax.default_backend() == "tpu"
     ):
+        from .pallas_kernels import max_pallas_cov_n
+
+        if n <= max_pallas_cov_n():
+            # Not the VMEM fallback: the single dot here is the
+            # deliberate mesh-sharded route (_cov_impl_for), whose
+            # per-shard accumulation error is sqrt(n_devices) lower
+            # by construction — nothing to warn about.
+            return
         import warnings
 
         from ..errors import AccuracyWarning
-        from .pallas_kernels import max_pallas_cov_n
 
         warnings.warn(
             f"TPU covariance for n_features={n} > {max_pallas_cov_n()} "

@@ -54,9 +54,18 @@ def device_trace_summary(trace_dir: str, device_substr: str = "TPU",
          "by_op":   {name: us, ...},  # per-op totals, descending
          "trace_path": str}
 
-    ``total_us`` over-counts if ops overlap on parallel device tracks;
-    on a single TPU core the compute track is serial, so the sum is the
-    device busy time.
+    XLA device tracks are hierarchical: the same device time appears
+    once as an aggregate "XLA Modules" span AND again as the per-op
+    "XLA Ops" spans inside it (measured on this backend's dumps: two
+    threads under ``/device:TPU:0`` with identical totals), so summing
+    every event on the pid would double-count. When a device pid has
+    an "XLA Ops" thread, only that thread is counted; otherwise all of
+    the pid's threads except "XLA Modules" are (the CPU backend's
+    executor threads carry no aggregate track).
+
+    ``total_us`` still over-counts if ops overlap on parallel op-level
+    tracks; on a single TPU core the compute track is serial, so the
+    sum is the device busy time.
     """
     dumps = sorted(glob.glob(os.path.join(
         trace_dir, "plugins", "profile", "*", "*.trace.json.gz")))
@@ -68,16 +77,36 @@ def device_trace_summary(trace_dir: str, device_substr: str = "TPU",
     events = data.get("traceEvents", [])
 
     device_pids = set()
+    thread_names: dict = {}
     for ev in events:
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+        if ev.get("ph") != "M":
+            continue
+        if ev.get("name") == "process_name":
             pname = str(ev.get("args", {}).get("name", ""))
             if device_substr.lower() in pname.lower():
                 device_pids.add(ev.get("pid"))
+        elif ev.get("name") == "thread_name":
+            thread_names[(ev.get("pid"), ev.get("tid"))] = str(
+                ev.get("args", {}).get("name", ""))
+
+    op_pids = {pid for (pid, _), name in thread_names.items()
+               if pid in device_pids and name == "XLA Ops"}
+
+    def _counted(ev) -> bool:
+        pid = ev.get("pid")
+        if pid not in device_pids:
+            return False
+        name = thread_names.get((pid, ev.get("tid")), "")
+        if pid in op_pids:
+            return name == "XLA Ops"
+        # "python" is the host-side caller track (wall spans incl.
+        # dispatch waits), present when the matched pid is /host:CPU.
+        return name not in ("XLA Modules", "python")
 
     by_op: dict = {}
     total = 0.0
     for ev in events:
-        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
+        if ev.get("ph") != "X" or not _counted(ev):
             continue
         dur = float(ev.get("dur", 0.0))
         total += dur

@@ -37,6 +37,49 @@ def test_device_trace_summary_missing_dir(tmp_path):
         device_trace_summary(str(tmp_path / "nope"))
 
 
+def test_device_trace_summary_skips_module_aggregate_track(tmp_path):
+    """TPU dumps put the SAME device time on two threads of the device
+    pid — an aggregate 'XLA Modules' span and the per-op 'XLA Ops'
+    spans inside it (measured on this backend). The parser must count
+    the op track only, not 2x the device time. Synthetic fixture in
+    the exact chrome-trace schema of a real dump."""
+    import gzip
+    import json
+    import os
+
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 3, "tid": 1, "name": "thread_name",
+         "args": {"name": "XLA Modules"}},
+        {"ph": "M", "pid": 3, "tid": 2, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 701, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        {"ph": "M", "pid": 701, "tid": 9, "name": "thread_name",
+         "args": {"name": "python"}},
+        # One 100us module span enclosing two op spans of 60+40us.
+        {"ph": "X", "pid": 3, "tid": 1, "name": "jit_f", "ts": 0,
+         "dur": 100.0},
+        {"ph": "X", "pid": 3, "tid": 2, "name": "fusion.1", "ts": 0,
+         "dur": 60.0},
+        {"ph": "X", "pid": 3, "tid": 2, "name": "dot.2", "ts": 60,
+         "dur": 40.0},
+        # Host-side wall span that must never count as device time.
+        {"ph": "X", "pid": 701, "tid": 9, "name": "jit_f", "ts": 0,
+         "dur": 5000.0},
+    ]
+    d = tmp_path / "plugins" / "profile" / "2026_01_01_00_00_00"
+    os.makedirs(d)
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    s = device_trace_summary(str(tmp_path), device_substr="TPU")
+    assert s["total_us"] == pytest.approx(100.0)
+    assert s["by_op"] == {"fusion.1": pytest.approx(60.0),
+                          "dot.2": pytest.approx(40.0)}
+
+
 def test_fit_with_timing_reports_throughput():
     from picard_ica_tpu import PicardConfig
     from picard_ica_tpu.utils import generate_test_data

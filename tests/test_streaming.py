@@ -166,9 +166,9 @@ def test_stream_caps():
     assert cap_h >= 768
     assert cap_g >= 1024
     assert cap_g > cap_h
-    bt, _ = pk._stream_dims(cap_g, 10**6, need_h=False, absolute_ll=False)
+    bt, _ = pk._stream_dims(cap_g, need_h=False, absolute_ll=False)
     assert bt >= 128
-    bt_over, _ = pk._stream_dims(cap_g + 128, 10**6, need_h=False,
+    bt_over, _ = pk._stream_dims(cap_g + 128, need_h=False,
                                  absolute_ll=False)
     assert bt_over < 128
 

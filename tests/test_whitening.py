@@ -207,6 +207,31 @@ def test_tpu_large_n_covariance_fallback_warns(monkeypatch):
     assert _cov_impl_for(x_small) == "pallas"
 
 
+def test_sharded_mid_n_dot_covariance_does_not_warn(monkeypatch):
+    """A mesh-sharded input with 512 < N <= max_pallas_cov_n routes to
+    the single GSPMD dot DELIBERATELY (per-shard accumulation error is
+    sqrt(n_devices) lower); it must not trip the VMEM-fallback
+    AccuracyWarning, whose message would misstate N > cap."""
+    import warnings
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from picard_ica_tpu.ops.whitening import _cov_impl_for, _warn_if_lossy_cov
+    from picard_ica_tpu.parallel import sample_mesh
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((600, 4096)).astype(np.float32))
+    mesh = sample_mesh()
+    x = jax.device_put(x, NamedSharding(mesh, PartitionSpec(None, "samples")))
+    impl = _cov_impl_for(x)
+    assert impl == "dot"  # the sharded route, not the VMEM fallback
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _warn_if_lossy_cov(x, impl)
+
+
 def test_f32_single_dot_covariance_rotates_k():
     """QUANTIFIES the beyond-the-cap fallback the warning above
     surfaces: a
