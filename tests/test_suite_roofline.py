@@ -1,0 +1,74 @@
+"""Fit-level roofline columns (benchmarks/suite._roofline_fracs).
+
+VERDICT r2 item 4 asked for an MFU/roofline column on fit-level rows;
+these tests pin the GEMM-pass accounting so a schedule or kernel
+change that invalidates the model shows up as a test failure, not a
+silently wrong committed fraction.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.fixture()
+def suite(monkeypatch):
+    import benchmarks.suite as suite_mod
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    return suite_mod
+
+
+class _Res:
+    def __init__(self, stage_ls_calls):
+        self.stage_ls_calls = np.asarray(stage_ls_calls)
+
+
+def _opts(suite, **kw):
+    from picard_ica_tpu.models.core import CoreOptions
+    from picard_ica_tpu.ops.densities import Tanh
+
+    base = dict(density=Tanh(), ortho=True, extended=True, has_cov=True,
+                m=7, ls_tries=10, use_pallas=True, kernel_precision="auto")
+    base.update(kw)
+    return CoreOptions(**base)
+
+
+def test_roofline_fracs_known_value(suite):
+    """Hand-computed: ortho pallas auto-schedule, cumulative ls calls
+    [10, 14, 15] -> per-stage [10, 4, 1]; bf16 stage is plain (2 GEMMs,
+    1 bf16 pass), bf16x3 delta (3 GEMMs, 3 passes), final f32 delta
+    (3 GEMMs, 6 passes)."""
+    from benchmarks.roofline import HBM_BYTES_PER_S, PEAK_BF16
+
+    n, t = 64, 1_000_000
+    rec = {"wall_s": 0.01, "device_s": None}
+    opts = _opts(suite)
+    suite._roofline_fracs(rec, _Res([10, 14, 15]), opts, n, t)
+
+    gemm = 2.0 * n * n * t
+    flops = 10 * 2 * gemm * 1 + 4 * 3 * gemm * 3 + 1 * 3 * gemm * 6
+    xbytes = 10 * 2.0 * n * t + (4 + 1) * 4.0 * n * t
+    assert rec["mxu_frac_of_bf16_peak"] == pytest.approx(
+        flops / 0.01 / PEAK_BF16)
+    assert rec["hbm_frac_of_peak"] == pytest.approx(
+        xbytes / 0.01 / HBM_BYTES_PER_S)
+
+
+def test_roofline_fracs_prefers_device_time(suite):
+    rec = {"wall_s": 1.0, "device_s": 0.5}
+    suite._roofline_fracs(rec, _Res([4]), _opts(
+        suite, kernel_precision="f32"), 32, 100_000)
+    rec2 = {"wall_s": 1.0}
+    suite._roofline_fracs(rec2, _Res([4]), _opts(
+        suite, kernel_precision="f32"), 32, 100_000)
+    assert rec["mxu_frac_of_bf16_peak"] == pytest.approx(
+        2 * rec2["mxu_frac_of_bf16_peak"])
+
+
+def test_roofline_fracs_skips_cpu_backend(suite, monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    rec = {"wall_s": 0.01}
+    suite._roofline_fracs(rec, _Res([10, 14, 15]), _opts(suite), 64, 10_000)
+    assert "mxu_frac_of_bf16_peak" not in rec
