@@ -72,3 +72,42 @@ def test_roofline_fracs_skips_cpu_backend(suite, monkeypatch):
     rec = {"wall_s": 0.01}
     suite._roofline_fracs(rec, _Res([10, 14, 15]), _opts(suite), 64, 10_000)
     assert "mxu_frac_of_bf16_peak" not in rec
+
+
+_MISS_STDERR = """\
+[bench +    0.0s] enabling persistent compilation cache
+[bench +    0.1s] datagen: loading cached mixture /r/.bench_cache/mix.npy
+[bench +    8.2s] devices: [TpuDevice(id=0)]
+[bench +   41.9s] center+whiten done in 33.7s
+[bench +   47.0s] whiten: cached whitened data for future cold runs
+[bench +  112.5s] core compile+warm run done in 65.5s (36 iters, ...)
+"""
+
+_HIT_STDERR = """\
+[bench +    0.0s] enabling persistent compilation cache
+[bench +    0.1s] whiten: loading cached whitened data /r/.bench_cache/w.npy
+[bench +    9.3s] devices: [TpuDevice(id=0)]
+[bench +   74.8s] core compile+warm run done in 65.5s (36 iters, ...)
+"""
+
+
+def test_parse_cold_phases_whiten_miss(suite):
+    ends = suite._parse_cold_phases(_MISS_STDERR)
+    assert ends == {"datagen": pytest.approx(8.2),
+                    "whiten": pytest.approx(41.9),
+                    "core": pytest.approx(112.5)}
+
+
+def test_parse_cold_phases_whiten_cache_hit(suite):
+    """The cached-whiten bench path logs no 'center+whiten' stamp; the
+    whiten phase must parse as zero-duration, not missing (it used to
+    fail cold_check on exactly the steady-state cached cold start)."""
+    ends = suite._parse_cold_phases(_HIT_STDERR)
+    assert ends["datagen"] == pytest.approx(9.3)
+    assert ends["whiten"] == pytest.approx(9.3)  # ends with datagen
+    assert ends["core"] == pytest.approx(74.8)
+
+
+def test_parse_cold_phases_missing_forensics(suite):
+    ends = suite._parse_cold_phases("no bench lines at all")
+    assert ends == {"datagen": None, "whiten": None, "core": None}
