@@ -98,12 +98,16 @@ class CoreOptions:
     # direct f32 loss subtraction. Resolution ~1e-4 absolute — ample
     # down to the bf16 tier's handoff; the accurate tiers keep the
     # cancellation-free delta form (see ops/pallas_kernels.py).
+    # STAGE-MANAGED: run_core overwrites this per precision stage
+    # (True only for a non-final bf16 tier); a user-constructed value
+    # only takes effect when calling the stage bodies directly.
     plain_ls: bool = False
     # Start the primary line search at min(1, 2 * last accepted alpha)
     # instead of always 1 (cheap tiers only; the final stage keeps the
     # reference's alpha=1 semantics). Mid-trajectory steps routinely
     # need alpha ~ 1/8: restarting from 1 costs 3-4 rejected full
     # passes over X per iteration.
+    # STAGE-MANAGED like plain_ls (True for every non-final tier).
     adaptive_alpha: bool = False
 
 
@@ -930,26 +934,37 @@ def _iteration_body(st: CoreState, x, covariance, tol, lambda_min, opts: CoreOpt
     return lax.cond(converged, finish, proceed, operand=None)
 
 
-def init_state(x, covariance, opts: CoreOptions):
+def init_state(x, covariance, opts: CoreOptions, x_stage=None):
     """Build the initial carry (core.rs:176-209).
 
     Returns (state, initial_singular) — the reference errors out if the
     very first loss evaluation hits a singular W (core.rs:188-193);
     with W = I that is unreachable, but the flag is surfaced anyway.
+
+    ``x_stage`` is the first precision stage's data copy (the bf16 X
+    of the plain-accept tier): the initial loss baseline and moments
+    must come from the SAME copy the stage's accept tests evaluate
+    candidates on, or iteration 0's plain accept compares
+    loss(bf16-rounded data) against loss(f32 data) and the systematic
+    E[log-lik] offset between the two datasets biases the first
+    accept. The extended-mode covariance Gram below always uses the
+    full-precision ``x`` — it seeds sign estimation for the WHOLE fit
+    and is never re-measured at stage boundaries.
     """
     n, t = x.shape
     dtype = x.dtype
+    xs = x if x_stage is None else x_stage
     w = jnp.eye(n, dtype=dtype)
     signs = jnp.ones((n,), dtype)
 
-    loss = compute_loss(w, x, signs, opts)
+    loss = compute_loss(w, xs, signs, opts)
     initial_singular = loss >= _SINGULAR_LOSS
 
     # Seed iteration 0's moments (every later iteration receives them
     # from the line search's fused pass).
     need_h = not opts.ortho
     need_ysq = opts.extended and not opts.ortho
-    moments0 = data_moments(w, x, opts, need_h, need_ysq)
+    moments0 = data_moments(w, xs, opts, need_h, need_ysq)
 
     if opts.extended:
         if opts.has_cov:
@@ -1040,8 +1055,57 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
     need_h = not opts.ortho
     need_ysq = opts.extended and not opts.ortho
 
-    first_opts = dataclasses.replace(opts, kernel_precision=stages[0][0])
-    state, _ = init_state(x, covariance, first_opts)
+    n_stages = len(stages)
+
+    def _stage_opts(idx: int, precision: str) -> CoreOptions:
+        final_stage = idx == n_stages - 1
+        return dataclasses.replace(
+            opts,
+            kernel_precision=precision,
+            # Non-final tiers bail to the next tier on a gradient
+            # plateau (their noise floor is data-dependent) and cap
+            # BOTH line searches at 3 tries — every try is a full
+            # pass over X and a noisy tier's deep backtracking is pure
+            # waste; the final tier honors reference semantics (run to
+            # max_iter, ls_tries, 10 fallback tries).
+            stage_patience=0 if final_stage else (opts.stage_patience or 10),
+            ls_tries=(
+                opts.ls_tries if final_stage else min(opts.ls_tries, 3)
+            ),
+            fallback_ls_tries=(
+                opts.fallback_ls_tries if final_stage
+                else min(opts.fallback_ls_tries, 3)
+            ),
+            # Cheap-tier economics (see the CoreOptions fields): the
+            # bf16 tier accepts on plain absolute log-lik (half the
+            # VPU work, one fewer rotation dot); all non-final tiers
+            # warm-start alpha from the last accepted step. The final
+            # tier keeps exact reference line-search semantics.
+            plain_ls=(precision == "bf16" and not final_stage),
+            adaptive_alpha=not final_stage,
+        )
+
+    def _stage_x(stage_opts: CoreOptions, precision: str):
+        # The bf16-plain tier reads a bf16 COPY of X: half the HBM
+        # traffic of the dominant pass (2.5 -> ~1.8 ms/call at
+        # N=64/T=4M) for +50% X memory during that stage only. All
+        # reductions/scalars stay f32 (_work_dtype).
+        # N >= 16 only: bf16 Mosaic tiles are (16, 128) sublanes and
+        # smaller row counts hit an unimplemented sublane broadcast.
+        if (stage_opts.plain_ls and precision == "bf16"
+                and x.dtype == jnp.float32 and opts.use_pallas
+                and x.shape[0] >= 16):
+            return x.astype(jnp.bfloat16)
+        return x
+
+    first_opts = _stage_opts(0, stages[0][0])
+    # init_state gets the stage-0 data copy so the initial loss
+    # baseline/moments are self-consistent with the first stage's
+    # accept tests (same-copy invariant, see init_state docstring).
+    state, _ = init_state(
+        x, covariance, first_opts,
+        x_stage=_stage_x(first_opts, stages[0][0]),
+    )
     tol = jnp.asarray(tol, x.dtype)
     lambda_min = jnp.asarray(lambda_min, x.dtype)
     max_iter = jnp.asarray(max_iter, jnp.int32)
@@ -1052,28 +1116,8 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
     stage_exits = []
     stage_ls = []
     for idx, (precision, floor) in enumerate(stages):
-        final_stage = idx == len(stages) - 1
-        stage_opts = dataclasses.replace(
-            opts,
-            kernel_precision=precision,
-            # Non-final tiers bail to the next tier on a gradient
-            # plateau (their noise floor is data-dependent) and cap
-            # their line searches at 3 tries — every try is a full
-            # pass over X and a noisy tier's deep backtracking is pure
-            # waste; the final tier honors reference semantics (run to
-            # max_iter, ls_tries, 10 fallback tries).
-            stage_patience=0 if final_stage else (opts.stage_patience or 10),
-            fallback_ls_tries=(
-                opts.fallback_ls_tries if final_stage else 3
-            ),
-            # Cheap-tier economics (see the CoreOptions fields): the
-            # bf16 tier accepts on plain absolute log-lik (half the
-            # VPU work, one fewer rotation dot); all non-final tiers
-            # warm-start alpha from the last accepted step. The final
-            # tier keeps exact reference line-search semantics.
-            plain_ls=(precision == "bf16" and not final_stage),
-            adaptive_alpha=not final_stage,
-        )
+        final_stage = idx == n_stages - 1
+        stage_opts = _stage_opts(idx, precision)
         stage_tol = tol if floor is None else jnp.maximum(
             jnp.asarray(floor, x.dtype), tol
         )
@@ -1089,7 +1133,16 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
             # first post-boundary push skip (denom = 0 -> r = inf),
             # mirroring the reference's memory flush at sign changes
             # (core.rs:330).
-            moments = data_moments(state.w, x, stage_opts, need_h, need_ysq)
+            # Skip the (full-pass-over-X) re-measure when the
+            # iteration budget is already exhausted: the stage's
+            # while_loop will not run and the moments are dead state
+            # (CoreResult never exports them).
+            moments = lax.cond(
+                state.it < max_iter,
+                lambda st=state, so=stage_opts: data_moments(
+                    st.w, x, so, need_h, need_ysq),
+                lambda st=state: st.moments,
+            )
             state = state._replace(
                 moments=moments,
                 converged=jnp.asarray(False),
@@ -1111,20 +1164,9 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
                     prev_step=jnp.zeros_like(state.prev_step),
                 )
 
-        # The bf16-plain tier reads a bf16 COPY of X: half the HBM
-        # traffic of the dominant pass (2.5 -> ~1.8 ms/call at
-        # N=64/T=4M) for +50% X memory during that stage only. All
-        # reductions/scalars stay f32 (_work_dtype); the accept
-        # baseline is self-consistent because every loss evaluation
-        # inside the stage uses the same copy.
-        # N >= 16 only: bf16 Mosaic tiles are (16, 128) sublanes and
-        # smaller row counts hit an unimplemented sublane broadcast.
-        if (stage_opts.plain_ls and precision == "bf16"
-                and x.dtype == jnp.float32 and opts.use_pallas
-                and x.shape[0] >= 16):
-            x_stage = x.astype(jnp.bfloat16)
-        else:
-            x_stage = x
+        # Same-copy invariant: the initial baseline (init_state) and
+        # every in-stage loss evaluation use this stage's data copy.
+        x_stage = _stage_x(stage_opts, precision)
 
         def body(st: CoreState, _x=x_stage, _opts=stage_opts, _tol=stage_tol):
             return _iteration_body(st, _x, covariance, _tol, lambda_min, _opts)

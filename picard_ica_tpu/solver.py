@@ -95,7 +95,15 @@ class Picard:
             )
 
         if not host_f64:
-            x = jnp.asarray(x, dtype)
+            # Host inputs stay on the host until the target sharding is
+            # known: casting with jnp.asarray here would materialize
+            # the FULL array on the default device first, which both
+            # costs a redundant transfer and caps the fit at
+            # single-device memory even under a mesh.
+            if isinstance(x, jax.Array):
+                x = jnp.asarray(x, dtype)
+            else:
+                x = np.asarray(x, np.dtype(dtype))
         else:
             x = x_host
         if x.ndim != 2:
@@ -114,7 +122,11 @@ class Picard:
                     f"{p - p % n_devices} or pad the data"
                 )
             if not host_f64:
+                # Shard-direct placement: each device receives only its
+                # sample slice (host arrays never touch one device whole).
                 x = jax.device_put(x, sharding)
+        elif not host_f64 and not isinstance(x, jax.Array):
+            x = jnp.asarray(x)
 
         # RNG (solver.rs:57-60): the reference-matched StdRng/ChaCha12
         # stream (utils/reference_rng.py) — a given random_state draws
@@ -148,9 +160,12 @@ class Picard:
             # whiten_precision='f64' fit with an f64 core must not be
             # silently downgraded to f32 (the 'auto' path always
             # resolves to f32 so this is an identity cast there).
-            x1 = jnp.asarray(x1_64.astype(np.dtype(dtype)))
+            # Shard-direct under a mesh (same rationale as above).
+            x1_host = x1_64.astype(np.dtype(dtype))
             if sharding is not None:
-                x1 = jax.device_put(x1, sharding)
+                x1 = jax.device_put(x1_host, sharding)
+            else:
+                x1 = jnp.asarray(x1_host)
             x_mean = None if mean_64 is None else jnp.asarray(mean_64, dtype)
             k_matrix = None if k_64 is None else jnp.asarray(k_64, dtype)
         else:
@@ -196,7 +211,8 @@ class Picard:
         # Warm starts, mutually exclusive (solver.rs:124-137).
         if config.jade_it is not None:
             if config.verbose:
-                print(f"Running {config.jade_it} iterations of JADE...")
+                print(f"Running {config.jade_it} iterations of JADE...",
+                      file=sys.stderr)
             w_init, min_eig = jade_jit(
                 x1, config.jade_it, 1e-6, config.verbose, data_sharding=sharding
             )
@@ -204,12 +220,13 @@ class Picard:
                 raise SingularMatrixError()
         elif config.fastica_it is not None:
             if config.verbose:
-                print(f"Running {config.fastica_it} iterations of FastICA...")
+                print(f"Running {config.fastica_it} iterations of FastICA...",
+                      file=sys.stderr)
             w_init, min_eig = ica_par_jit(x1, config.density, config.fastica_it, w_init)
             if float(min_eig) < _SYM_DECORR_MIN_EIG:
                 raise SingularMatrixError()
             if config.verbose:
-                print("FastICA pre-iterations complete.")
+                print("FastICA pre-iterations complete.", file=sys.stderr)
 
         # Pre-rotate the data (solver.rs:140).
         # HIGHEST: a default (bf16) pass here would rewrite the data the
@@ -223,7 +240,7 @@ class Picard:
         covariance = jnp.eye(actual_components, dtype=dtype) if has_cov else None
 
         if config.verbose:
-            print("Running Picard...")
+            print("Running Picard...", file=sys.stderr)
 
         use_pallas = config.use_pallas
         if use_pallas is None:
