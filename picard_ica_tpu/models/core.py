@@ -44,7 +44,12 @@ from jax import lax
 
 from ..ops.densities import Density
 from ..ops.linalg import expm_pow2_chain, matrix_exp, skew_symmetric
-from ..ops.moments import RawMoments, _row_mean
+from ..ops.moments import (
+    RawMoments,
+    _row_mean,
+    compute_raw_moments_xla,
+    loglik_rowmeans_xla,
+)
 
 # Penalty loss for singular/failed evaluations (core.rs:90-96).
 _SINGULAR_LOSS = 1e15
@@ -314,18 +319,10 @@ def data_moments(w, x, opts: CoreOptions, need_h: bool, need_ysq: bool) -> RawMo
             g, pm, h, ysq = local(x, w)
         return RawMoments(g * inv_t, pm * inv_t, h * inv_t, ysq * inv_t)
 
-    # XLA path: GSPMD shards the contractions automatically.
-    y = _dot(w, x)
-    psi, psi_d = opts.density.score_and_der(y)
-    g = _dot(psi, y.T) * inv_t
-    pm = _row_mean(psi_d)
-    if need_h:
-        ysq_mat = y * y
-        h = _dot(psi_d, ysq_mat.T) * inv_t
-    else:
-        h = jnp.zeros((n, n), dtype)
-    ysq = _row_mean(y * y) if need_ysq else jnp.zeros((n,), dtype)
-    return RawMoments(g, pm, h, ysq)
+    # XLA path: GSPMD shards the contractions automatically. The
+    # shared ops.moments implementation IS the oracle-lockstep
+    # semantics (one definition to keep in step with oracle.cpp).
+    return compute_raw_moments_xla(_dot(w, x), opts.density, need_h, need_ysq)
 
 
 def data_loglik(m, x, opts: CoreOptions, need_ysq: bool):
@@ -349,8 +346,9 @@ def data_loglik(m, x, opts: CoreOptions, need_ysq: bool):
             ll, ysq = local(x, m)
         return ll * inv_t, ysq * inv_t
 
+    # XLA path: one shared definition with the tested helper.
     y = _dot(m, x)
-    ll = _row_mean(opts.density.log_lik(y))
+    ll = loglik_rowmeans_xla(y, opts.density)
     ysq = _row_mean(y * y) if need_ysq else jnp.zeros_like(ll)
     return ll, ysq
 
@@ -957,14 +955,29 @@ def init_state(x, covariance, opts: CoreOptions, x_stage=None):
     w = jnp.eye(n, dtype=dtype)
     signs = jnp.ones((n,), dtype)
 
-    loss = compute_loss(w, xs, signs, opts)
-    initial_singular = loss >= _SINGULAR_LOSS
-
-    # Seed iteration 0's moments (every later iteration receives them
-    # from the line search's fused pass).
     need_h = not opts.ortho
     need_ysq = opts.extended and not opts.ortho
-    moments0 = data_moments(w, xs, opts, need_h, need_ysq)
+    if opts.plain_ls:
+        # Plain-accept stage (the auto schedule's bf16 tier): ONE
+        # fused pass yields the loss terms and iteration 0's moments
+        # together — and it is the SAME kernel the stage's accept
+        # tests run, so the baseline is bit-identical to candidate
+        # evaluations AND the standalone loglik/moments kernels drop
+        # out of the fit's cold-compile surface. slogdet(I) == 0
+        # exactly, so the loss is just the density (+ extended)
+        # terms.
+        ll_means, ysq_means, moments0 = data_fused_step(
+            w, w, xs, opts, need_h, need_ysq)
+        loss = jnp.sum(signs * ll_means)
+        if need_ysq:
+            loss = loss + 0.5 * jnp.sum(ysq_means)
+        loss = loss.astype(_work_dtype(xs))
+    else:
+        loss = compute_loss(w, xs, signs, opts)
+        # Seed iteration 0's moments (every later iteration receives
+        # them from the line search's fused pass).
+        moments0 = data_moments(w, xs, opts, need_h, need_ysq)
+    initial_singular = loss >= _SINGULAR_LOSS
 
     if opts.extended:
         if opts.has_cov:
