@@ -599,6 +599,18 @@ def line_search(x, w, direction, signs, current_loss, ls_tries, opts: CoreOption
     # expm_pow2_chain) — per-try expm was the dominant N x N dispatch
     # cost (~2 ms/try at N=64). f64 keeps the per-try reference-exact
     # matrix_exp for oracle lockstep.
+    #
+    # Accuracy guard on final-semantics tiers (adaptive_alpha=False —
+    # the reference-exact stage, and any direct CoreOptions caller):
+    # the chain's shared over-scaled base amplifies f32 rounding
+    # through its ~(s1 + n_alphas) squarings — measured ~2.6e-5
+    # transform error (5e-4 non-orthogonality) at max|D| ~ 0.06-0.5 vs
+    # ~1e-7 for per-try matrix_exp. Large-|D| directions only occur in
+    # EARLY iterations (pinned-f32 fits; the auto schedule's final
+    # tier sees |D| ~ gnorm ~ 1e-5 where the chain is eps-accurate),
+    # so gate on the norm: below 2^-10 read the chain, above it pay
+    # the per-try expm. Cheap tiers always read the chain — their own
+    # noise floors (>= ~1e-7) dominate its error.
     if init_alpha_exp is None:
         init_alpha_exp = jnp.asarray(0, jnp.int32)
     use_chain = (
@@ -608,11 +620,22 @@ def line_search(x, w, direction, signs, current_loss, ls_tries, opts: CoreOption
         chain, chain_top = expm_pow2_chain(
             direction, int(max_tries) + _ALPHA_EXP_CAP
         )
+        if not opts.adaptive_alpha:
+            chain_accurate = (
+                jnp.max(jnp.abs(direction)) <= jnp.asarray(2.0**-10, dtype)
+            )
 
     def try_alpha(alpha, k):
         if opts.ortho:
-            if use_chain:
+            if use_chain and opts.adaptive_alpha:
+                # Cheap tiers: always the chain (no fallback compiled).
                 tm = chain[chain_top - init_alpha_exp - k]
+            elif use_chain:
+                tm = lax.cond(
+                    chain_accurate,
+                    lambda: chain[chain_top - init_alpha_exp - k],
+                    lambda: matrix_exp(direction * alpha),
+                )
             else:
                 tm = matrix_exp(direction * alpha)
         else:

@@ -158,11 +158,18 @@ def expm_pow2_chain(d, n_alphas: int):
     N x N work and dominated the per-try cost at N = 64 (~2 ms/try).
 
     Accuracy: the base input norm is <= 2^(1 - n_alphas), so 6 Taylor
-    terms truncate below 1e-18; the extra ``n_alphas - 1 - k``
-    squarings vs the reference's per-alpha scaling add ~(n_alphas)*eps
-    rounding — far below f32 working precision, which is why this path
-    is used for f32 only (f64 conformance keeps per-try
-    :func:`matrix_exp`, bit-matched to the reference).
+    terms truncate below 1e-18 — truncation is NOT the limit. The
+    extra ``n_alphas - 1 - k`` squarings vs the reference's per-alpha
+    scaling AMPLIFY f32 rounding: measured (f32, 16x16 skew,
+    n_alphas=16) transform error ~2.6e-5 and non-orthogonality ~5e-4
+    at max|D| ~ 0.06-0.5, vs ~1e-7 for per-try :func:`matrix_exp`.
+    The error scales with |D|: at the converged regime's |D| ~ gnorm
+    (<= 1e-5) it is eps-level. Callers with reference-exact accuracy
+    requirements therefore gate on the direction norm and fall back
+    to per-try matrix_exp above ~2^-10 (models/core.line_search);
+    cheap noisy tiers read the chain unconditionally. f64 conformance
+    never uses the chain (per-try matrix_exp, bit-matched to the
+    reference).
 
     Returns ``(chain, j)`` with ``chain`` of static shape
     ``(_CHAIN_MAX_S + n_alphas, n, n)`` and ``expm(2^-k d) ==

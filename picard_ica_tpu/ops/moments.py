@@ -40,6 +40,25 @@ class RawMoments(NamedTuple):
     ysq_rowmean: jnp.ndarray  # (N,) E[Y^2] per row (zeros when unused)
 
 
+def fold_pairwise(partials):
+    """Tree-fold (n_chunks, ...) leading-axis partials.
+
+    Unrolled at trace time into ~log2(n) vectorized adds; rounding
+    error grows O(log n * eps) instead of a naive running sum's
+    O(n * eps). The single shared definition of the accuracy-critical
+    reduction used by the Pallas tile folds
+    (pallas_kernels._reduce_partials) and the chunked whitening
+    statistics (whitening._chunked_mean/_covariance_chunked).
+    """
+    while partials.shape[0] > 1:
+        half = partials.shape[0] // 2
+        folded = partials[:half] + partials[half : 2 * half]
+        if partials.shape[0] % 2:
+            folded = folded.at[0].add(partials[-1])
+        partials = folded
+    return partials[0]
+
+
 def _row_mean(m):
     """``mean(m, axis=1)`` shaped for the hardware.
 

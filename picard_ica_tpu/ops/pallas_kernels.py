@@ -31,13 +31,17 @@ Resident-W kernels (N up to max_fused_n) cover everything:
     loss delta vs the current W) plus the candidate's full moment set,
     in a single read of X per try
 
-Beyond max_fused_n the public wrappers dispatch to streaming-W
-variants (streaming_fused_sums / streaming_loglik_sums): weights pass
+Beyond max_fused_n — or when the (n_tiles, N, N) per-tile partials
+would exceed _RESIDENT_PARTIALS_MAX of HBM (quadratic in N: ~10 GB at
+N=512/T=4M, where the partial WRITE traffic also exceeds the X read
+itself) — the public wrappers dispatch to streaming-W variants
+(streaming_fused_sums / streaming_loglik_sums): weights pass
 through VMEM as (128, N) row blocks, a per-tile Y scratch feeds the
 G/H contractions, and the N x N accumulators live in a VMEM output
-block shared by a group of tiles — lifting the cap to max_streaming_n
-(~896 with H, ~1152 G-only by the VMEM model; TPU-calibration pending,
-see _stream_dims). Larger N still routes to XLA (solver.py).
+block shared by a group of tiles (16x fewer partials) — lifting the
+cap to max_streaming_n (~896 with H, ~1152 G-only by the VMEM model;
+TPU-calibration pending, see _stream_dims). Larger N still routes to
+XLA (solver.py).
 
 All return UNNORMALIZED sums over the local T axis so multi-chip
 callers can psum across sample shards before dividing by global T.
@@ -134,14 +138,18 @@ def _tile_t(n: int, t: int, n_bufs: int = _DELTA_BUFS,
     to the streaming-W kernels (and the solver routes past
     max_streaming_n to the XLA path).
     """
-    if t <= 512:
-        # Tiny inputs (tests): one tile, rounded up to the lane width.
-        return max(128, -(-t // 128) * 128)
     weights = n_weights * n * n * 4
     avail = _VMEM_BUDGET - weights
     budget = max(avail, 0) // (n_bufs * n * 4)
     bt = max(256, min(4096, budget))
-    return (bt // 128) * 128
+    bt = (bt // 128) * 128
+    if t <= 512:
+        # Tiny inputs (tests): a single lane-rounded tile — but never
+        # LARGER than the modeled tile (at the large-N edge of the
+        # VMEM budget, growing the tile past the model busts scoped
+        # VMEM even though T is small).
+        return min(bt, max(128, -(-t // 128) * 128))
+    return bt
 
 
 def max_fused_n(absolute_ll: bool = False) -> int:
@@ -163,6 +171,20 @@ def max_fused_n(absolute_ll: bool = False) -> int:
 
 _STREAM_NB = 128  # W row-block height (one MXU tile of output rows)
 _STREAM_GROUP = 16  # x-tiles accumulated per G/H output partial
+
+# Resident kernels write one (N, N) partial per x-tile per matrix
+# output: fine at the headline shapes (N=64/T=4M: ~16 MB/output) but
+# quadratic in N — at N=512/T=4M the G partials alone are ~10 GB of
+# HBM (and of write traffic, exceeding the X read itself). Beyond
+# this TOTAL-partials budget the wrappers reroute to the grouped /
+# streaming variants, whose VMEM group accumulators emit
+# _STREAM_GROUP/_COV_GROUP-times fewer partials.
+_RESIDENT_PARTIALS_MAX = 2 * 1024**3  # bytes
+
+
+def _resident_partials_bytes(n_tiles: int, n: int, n_mats: int) -> int:
+    """HBM bytes of (n_tiles, N, N) f32 partials for n_mats outputs."""
+    return n_mats * n_tiles * n * n * 4
 
 
 def _stream_dims(n: int, need_h: bool, absolute_ll: bool,
@@ -235,14 +257,9 @@ def _reduce_partials(partials, dtype):
     if partials.dtype == jnp.float64:
         return jnp.sum(partials, axis=0)
 
-    while partials.shape[0] > 1:
-        n_lead = partials.shape[0]
-        half = n_lead // 2
-        folded = partials[:half] + partials[half : 2 * half]
-        if n_lead % 2:
-            folded = folded.at[0].add(partials[-1])
-        partials = folded
-    return partials[0].astype(dtype)
+    from .moments import fold_pairwise
+
+    return fold_pairwise(partials).astype(dtype)
 
 
 def _rotated_moments_kernel(
@@ -295,16 +312,19 @@ def rotated_moments_sums(
     pytree is static).
     """
     n, t = x.shape
-    if n > max_fused_n(absolute_ll=True):
-        # Resident-W cap exceeded: the streaming kernel's plain mode
-        # computes the identical moment set (its dll/dysq slots are
-        # discarded; this path runs once per fit, at initialization).
+    bt = _tile_t(n, t)
+    if n > max_fused_n(absolute_ll=True) or _resident_partials_bytes(
+        pl.cdiv(t, bt), n, 1 + need_h
+    ) > _RESIDENT_PARTIALS_MAX:
+        # Resident-W cap (or per-tile-partials HBM budget) exceeded:
+        # the streaming kernel's plain mode computes the identical
+        # moment set (its dll/dysq slots are discarded; this path runs
+        # once per fit, at initialization).
         out = streaming_fused_sums(
             w, w, x, density, need_h, need_ysq, interpret=interpret,
             absolute_ll=True,
         )
         return out[2], out[3], out[4], out[5]
-    bt = _tile_t(n, t)
     n_tiles = pl.cdiv(t, bt)
     dtype = _acc_dtype(x)
 
@@ -459,7 +479,10 @@ def _grouped_covariance(x, mean, interpret: bool):
             f"(max_pallas_cov_n() = {max_pallas_cov_n()})"
         )
     if t <= 512:
-        bt = max(128, -(-t // 128) * 128)
+        # Single lane-rounded tile, capped by the VMEM-modeled bt (a
+        # larger-than-modeled tile busts scoped VMEM at the large-N
+        # edge regardless of T).
+        bt = min(bt, max(128, -(-t // 128) * 128))
     n_tiles = pl.cdiv(t, bt)
     group = min(_COV_GROUP, n_tiles)
     n_groups = pl.cdiv(n_tiles, group)
@@ -532,9 +555,14 @@ def covariance_sums(x, interpret: bool = False):
     compiler.
     """
     n, t = x.shape
-    if n > _COV_RESIDENT_MAX_N:
+    # True working set: the x tile (pipeline double-buffered) + its
+    # masked copy, and the double-buffered (1, N, N) output block —
+    # far shallower than the fused kernel's default model.
+    bt = _tile_t(n, t, n_bufs=4, n_weights=2)
+    if n > _COV_RESIDENT_MAX_N or _resident_partials_bytes(
+        pl.cdiv(t, bt), n, 1
+    ) > _RESIDENT_PARTIALS_MAX:
         return _grouped_covariance(x, None, interpret)
-    bt = _tile_t(n, t)
     n_tiles = pl.cdiv(t, bt)
     dtype = x.dtype
 
@@ -564,9 +592,13 @@ def centered_covariance_sums(x, mean, interpret: bool = False):
     costs an extra N x T write + read).
     """
     n, t = x.shape
-    if n > _COV_RESIDENT_MAX_N:
+    # x tile (double-buffered) + centered/masked copy + the
+    # double-buffered (1, N, N) output block.
+    bt = _tile_t(n, t, n_bufs=5, n_weights=2)
+    if n > _COV_RESIDENT_MAX_N or _resident_partials_bytes(
+        pl.cdiv(t, bt), n, 1
+    ) > _RESIDENT_PARTIALS_MAX:
         return _grouped_covariance(x, mean, interpret)
-    bt = _tile_t(n, t)
     n_tiles = pl.cdiv(t, bt)
     dtype = x.dtype
 
@@ -625,7 +657,10 @@ def rotated_loglik_sums(
         return streaming_loglik_sums(
             m, x, density, need_ysq, interpret=interpret
         )
-    bt = _tile_t(n, t)
+    # x tile (double-buffered) + masked copy + y + ll + ysq buffers,
+    # one resident M block; the (n_tiles, N, 1) row partials are tiny
+    # (no HBM-partials routing needed).
+    bt = _tile_t(n, t, n_bufs=7, n_weights=1)
     n_tiles = pl.cdiv(t, bt)
     dtype = _acc_dtype(x)
 
@@ -762,16 +797,24 @@ def rotated_fused_sums(
     cheap-tier accept path; m_old is ignored).
     """
     n, t = x.shape
-    if n > max_fused_n(absolute_ll):
+    if absolute_ll:
+        bt = _tile_t(n, t, _PLAIN_BUFS, _PLAIN_WEIGHTS)
+    else:
+        bt = _tile_t(n, t)
+    if n > max_fused_n(absolute_ll) or _resident_partials_bytes(
+        pl.cdiv(t, bt), n, 1 + need_h
+    ) > _RESIDENT_PARTIALS_MAX:
         return streaming_fused_sums(
             m_new, m_old, x, density, need_h, need_ysq,
             interpret=interpret, precision=precision,
             absolute_ll=absolute_ll,
         )
-    if absolute_ll:
-        bt = _tile_t(n, t, _PLAIN_BUFS, _PLAIN_WEIGHTS)
-    else:
-        bt = _tile_t(n, t)
+    if x.dtype == jnp.bfloat16 and precision == "f32":
+        # Mosaic rejects HIGHEST on bf16 operands, and a multi-pass
+        # split of bf16 data is meaningless — bf16 X (the cheap tier's
+        # halved-HBM copy) always takes the native single-pass matmul
+        # with f32 accumulation (same remap as the streaming variant).
+        precision = "bf16"
     n_tiles = pl.cdiv(t, bt)
     dtype = _acc_dtype(x)
 
@@ -970,7 +1013,10 @@ def streaming_fused_sums(
             f"(max_streaming_n(need_h={need_h}) = {max_streaming_n(need_h)})"
         )
     if t <= 512:
-        bt = max(128, -(-t // 128) * 128)
+        # Single lane-rounded tile, capped by the VMEM-modeled bt (a
+        # larger-than-modeled tile busts scoped VMEM at the large-N
+        # edge regardless of T).
+        bt = min(bt, max(128, -(-t // 128) * 128))
     n_blocks = npad // _STREAM_NB
     n_tiles = pl.cdiv(t, bt)
     group = min(_STREAM_GROUP, n_tiles)
@@ -1101,7 +1147,10 @@ def streaming_loglik_sums(
     if bt < 128:
         raise ValueError(f"N={n} exceeds the streaming log-lik VMEM model")
     if t <= 512:
-        bt = max(128, -(-t // 128) * 128)
+        # Single lane-rounded tile, capped by the VMEM-modeled bt (a
+        # larger-than-modeled tile busts scoped VMEM at the large-N
+        # edge regardless of T).
+        bt = min(bt, max(128, -(-t // 128) * 128))
     n_blocks = npad // _STREAM_NB
     n_tiles = pl.cdiv(t, bt)
     nb = _STREAM_NB

@@ -56,15 +56,7 @@ class WhiteningResult(NamedTuple):
     whitening_matrix: jnp.ndarray  # (n_components, n_features)
 
 
-def _fold_pairwise(partials):
-    """Tree-fold (n_chunks, ...) partials: O(log n) rounding growth."""
-    while partials.shape[0] > 1:
-        half = partials.shape[0] // 2
-        folded = partials[:half] + partials[half : 2 * half]
-        if partials.shape[0] % 2:
-            folded = folded.at[0].add(partials[-1])
-        partials = folded
-    return partials[0]
+from .moments import fold_pairwise as _fold_pairwise  # noqa: E402
 
 
 def _chunk_len(t: int) -> int:

@@ -129,3 +129,37 @@ def test_expm_chain_huge_norm_stays_accurate():
         per_try = np.asarray(matrix_exp(jnp.asarray(d / 2.0**k)))
         np.testing.assert_allclose(got, per_try, rtol=0, atol=1e-6)
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+
+
+def test_expm_chain_f32_rounding_motivates_norm_gate():
+    """At f32 and moderate direction norms, the shared chain's extra
+    squarings amplify rounding ~2-3 orders of magnitude beyond per-try
+    matrix_exp — the measurement behind line_search's norm gate
+    (final-semantics tiers fall back to per-try expm above ~2^-10;
+    models/core.py). If this gap ever closes, the gate can go."""
+    from picard_ica_tpu.ops.linalg import expm_pow2_chain
+
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((16, 16))
+    d64 = (a - a.T) / 2.0
+    d64 *= 0.5 / np.abs(d64).max()  # max|D| = 0.5
+    d32 = jnp.asarray(d64, jnp.float32)
+    n_alphas = 16
+
+    chain, j = expm_pow2_chain(d32, n_alphas)
+    ref = scipy.linalg.expm(d64)  # f64 truth at alpha = 1
+    err_chain = np.abs(np.asarray(chain[int(j)], np.float64) - ref).max()
+    err_per_try = np.abs(
+        np.asarray(matrix_exp(d32), np.float64) - ref
+    ).max()
+    assert err_per_try < 1e-6
+    assert err_chain > 50 * err_per_try  # the gap the gate exists for
+
+    # And below the gate threshold the chain is eps-accurate.
+    d_small = d32 * jnp.float32(2.0**-11 / 0.5)
+    chain_s, j_s = expm_pow2_chain(d_small, n_alphas)
+    ref_s = scipy.linalg.expm(np.asarray(d_small, np.float64))
+    err_small = np.abs(
+        np.asarray(chain_s[int(j_s)], np.float64) - ref_s
+    ).max()
+    assert err_small < 1e-6

@@ -223,3 +223,36 @@ def test_sharded_streaming_matches_single(monkeypatch, eight_device_mesh):
     np.testing.assert_allclose(
         np.asarray(r_single.unmixing), np.asarray(r_mesh.unmixing), atol=1e-5
     )
+
+def test_partials_budget_routes_to_streaming(monkeypatch):
+    """Below the N cap but above the per-tile-partials HBM budget the
+    wrappers must reroute to the streaming kernels: at N=512/T=4M the
+    resident fused kernel's (n_tiles, N, N) partials alone are ~10 GB
+    (review finding; the budget caps total partial bytes). Verified by
+    shrinking the budget so a small shape crosses it, then checking
+    the two routes agree."""
+    n, t = 48, 1152  # unique shape: avoids any unpatched jit-cache entry
+    rng = np.random.default_rng(12)
+    m_old = jnp.asarray(np.eye(n) + 0.01 * rng.standard_normal((n, n)))
+    m_new = jnp.asarray(np.asarray(m_old) + 0.02 * rng.standard_normal((n, n)))
+    x = jnp.asarray(rng.standard_normal((n, t)))
+
+    # One (N, N) f32 partial is ~9 KB; force the budget below a single
+    # tile's partial so the wrapper MUST stream (patched BEFORE the
+    # first trace of this shape — the dispatch is a trace-time branch).
+    monkeypatch.setattr(pk, "_RESIDENT_PARTIALS_MAX", 1024)
+    calls = []
+    real_stream = pk.streaming_fused_sums
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real_stream(*a, **k)
+
+    monkeypatch.setattr(pk, "streaming_fused_sums", spy)
+    routed = pk.rotated_fused_sums(m_new, m_old, x, Tanh(), True, True,
+                                   interpret=True)
+    assert calls, "partials budget did not reroute to streaming"
+    direct = real_stream(m_new, m_old, x, Tanh(), True, True,
+                         interpret=True)
+    for a, b in zip(direct, routed):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
