@@ -249,10 +249,7 @@ def _shard_mapped(local_fn, sharding, x, *replicated, critical_first=False):
     """
     from jax.sharding import PartitionSpec as P
 
-    try:
-        shard_map = jax.shard_map
-    except AttributeError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    from ..parallel.sharding import shard_map_replicated
 
     mesh = sharding.mesh
     axis = sharding.spec[1]
@@ -286,13 +283,7 @@ def _shard_mapped(local_fn, sharding, x, *replicated, critical_first=False):
         in_specs=(P(None, axis),) + (P(),) * n_rep,
         out_specs=P(),
     )
-    try:
-        # pallas_call outputs carry no varying-mesh-axes metadata; the
-        # explicit psums above make the outputs replicated regardless.
-        mapped = shard_map(wrapped, check_vma=False, **kwargs)
-    except TypeError:  # pragma: no cover - older jax spelling
-        mapped = shard_map(wrapped, check_rep=False, **kwargs)
-    return mapped(x, *replicated)
+    return shard_map_replicated(wrapped, **kwargs)(x, *replicated)
 
 
 def data_moments(w, x, opts: CoreOptions, need_h: bool, need_ysq: bool) -> RawMoments:

@@ -78,11 +78,17 @@ def _round_robin_schedule(n: int):
 
 
 def _pair_product_gram(x, chunk_size: int):
-    """Gram of pair products: ``sum_t (x_i x_j)_t (x_k x_l)_t`` as an
-    (N^2, N^2) matrix, accumulated over T chunks so the N^2 x chunk
-    intermediate stays VMEM/HBM-friendly."""
+    """Gram of pair products ``sum_t (x_i x_j)_t (x_k x_l)_t``, but
+    only the P = N(N+1)/2 rows with i <= j (row (i,j) equals row
+    (j,i)): shape (P, N^2), accumulated over T chunks so the
+    N^2 x chunk intermediate stays VMEM/HBM-friendly. The left factor
+    being the half-pair slice halves the dominant T*N^4 MXU work, the
+    accumulated carry, and the sharded path's psum payload vs the full
+    (N^2, N^2) Gram the consumer would discard half of."""
     n, t = x.shape
     dtype = x.dtype
+    pair_i, pair_j = _pair_indices(n)
+    rows = jnp.asarray(pair_i.astype(np.int32) * n + pair_j, jnp.int32)
     chunk = min(chunk_size, t)
     n_chunks = -(-t // chunk)
     pad = n_chunks * chunk - t
@@ -91,12 +97,15 @@ def _pair_product_gram(x, chunk_size: int):
 
     def accumulate(acc, x_chunk):
         z = (x_chunk[:, None, :] * x_chunk[None, :, :]).reshape(n * n, -1)
+        zp = z[rows]  # (P, chunk): the i <= j pair products
         return acc + jnp.dot(
-            z, z.T, preferred_element_type=dtype,
+            zp, z.T, preferred_element_type=dtype,
             precision=jax.lax.Precision.HIGHEST,
         ), None
 
-    gram, _ = lax.scan(accumulate, jnp.zeros((n * n, n * n), dtype), xc)
+    gram, _ = lax.scan(
+        accumulate, jnp.zeros((rows.shape[0], n * n), dtype), xc
+    )
     return gram
 
 
@@ -115,34 +124,27 @@ def compute_cumulant_matrices(x, chunk_size: int = 4096, data_sharding=None):
     if data_sharding is not None:
         from jax.sharding import PartitionSpec as P
 
-        try:
-            shard_map = jax.shard_map
-        except AttributeError:  # pragma: no cover - older jax
-            from jax.experimental.shard_map import shard_map
+        from ..parallel.sharding import shard_map_replicated
 
         mesh = data_sharding.mesh
         axis = data_sharding.spec[1]
 
         def local(x_local):
-            return lax.psum(_pair_product_gram(x_local, chunk_size), axis)
-
-        kwargs = dict(mesh=mesh, in_specs=P(None, axis), out_specs=P())
-        try:
             # The scan's zero-initialized carry is unvarying while the
             # accumulated partial varies over the samples axis; the
-            # explicit psum makes the output replicated regardless, so
-            # skip the varying-manual-axes check (same pattern as
-            # models/core._shard_mapped).
-            gram = shard_map(local, check_vma=False, **kwargs)(x)
-        except TypeError:  # pragma: no cover - older jax spelling
-            gram = shard_map(local, check_rep=False, **kwargs)(x)
+            # explicit psum makes the output replicated.
+            return lax.psum(_pair_product_gram(x_local, chunk_size), axis)
+
+        gram = shard_map_replicated(
+            local, mesh=mesh, in_specs=P(None, axis), out_specs=P()
+        )(x)
     else:
         gram = _pair_product_gram(x, chunk_size)
 
     pair_i, pair_j = _pair_indices(n)
     p_count = pair_i.shape[0]
-    # Row (i, j) of the Gram is E[x_i x_j x_k x_l] * T over all (k, l).
-    q = gram[pair_i * n + pair_j].reshape(p_count, n, n) / t
+    # Row p of the half-pair Gram is E[x_i x_j x_k x_l] * T over (k, l).
+    q = gram.reshape(p_count, n, n) / t
 
     # Whitened-data delta corrections (jade.rs:114-120), applied sparsely:
     #   - delta_ij delta_kl: subtract I for diagonal pairs (i == j)

@@ -208,6 +208,14 @@ def oracle_core(
     lambda_min: float = 0.01,
 ) -> dict:
     """Run the f64 oracle core loop on pre-rotated data ``x`` (n, t)."""
+    if ls_tries < 1 or m < 1 or max_iter < 0:
+        # The C side does not validate: ls_tries <= 0 would move
+        # default-constructed 0x0 matrices into the optimizer state and
+        # return uninitialized buffers with rc=0.
+        raise ValueError(
+            f"ls_tries ({ls_tries}) and m ({m}) must be >= 1, "
+            f"max_iter ({max_iter}) >= 0"
+        )
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")

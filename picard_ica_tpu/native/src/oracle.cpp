@@ -262,11 +262,22 @@ void jacobi_eigh(const Mat &a_in, std::vector<double> &evals, Mat &evecs) {
     int n = a_in.r;
     Mat a = a_in;
     evecs = eye(n);
+    // Convergence threshold RELATIVE to the matrix scale: the
+    // unnormalized covariance X X^T has entries ~T, so a fixed
+    // absolute 1e-28 is unreachable (post-convergence off-diagonal
+    // rounding noise ~ (|a| * 1e-16)^2 * n^2) and every whiten would
+    // burn all 100 O(n^3) sweeps on this box's single core. off/frob^2
+    // < 1e-29 leaves the off-diagonal norm at ~3e-15 relative — far
+    // below the oracle's 1e-12 conformance tolerances — while the
+    // quadratically-convergent sweep reaches it in ~8 passes.
+    double frob2 = 0.0;
+    for (double v : a.d) frob2 += v * v;
+    double off_tol = std::max(1e-28, 1e-29 * frob2);
     for (int sweep = 0; sweep < 100; ++sweep) {
         double off = 0.0;
         for (int p = 0; p < n; ++p)
             for (int q = p + 1; q < n; ++q) off += a.at(p, q) * a.at(p, q);
-        if (off < 1e-28) break;
+        if (off < off_tol) break;
         for (int p = 0; p < n; ++p) {
             for (int q = p + 1; q < n; ++q) {
                 double apq = a.at(p, q);
@@ -933,6 +944,12 @@ int picard_oracle_ica_par(const double *x, int n, int t, int density_type,
     std::memcpy(xm.d.data(), x, sizeof(double) * xm.d.size());
     Mat w(n, n);
     std::memcpy(w.d.data(), w_io, sizeof(double) * w.d.size());
+    // The reference decorrelates the INITIAL W before the loop
+    // (solver.rs:224 `let mut w = sym_decorrelation(w_init)?`), so a
+    // non-orthogonal w_init must be projected here too — without this
+    // the oracle runs a different algorithm for non-orthogonal inits
+    // (models/fastica.py:32 matches the reference).
+    if (sym_decorrelation(w) < kMinEig) return 1;
     double inv_t = 1.0 / t;
     std::vector<double> psid_row(t);
     for (int it = 0; it < n_iter; ++it) {

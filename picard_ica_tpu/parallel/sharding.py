@@ -25,6 +25,20 @@ try:
 except (ImportError, AttributeError):  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+
+def shard_map_replicated(fn, **kwargs):
+    """``shard_map`` with the varying-manual-axes check disabled,
+    across jax spellings (``check_vma`` on >= 0.6, ``check_rep``
+    older). For local functions whose outputs are made replicated by
+    EXPLICIT psums: pallas_call outputs carry no varying-mesh-axes
+    metadata, so the automatic check cannot see the replication.
+    The single shared version-compat shim (previously copied in
+    models/core.py and models/jade.py)."""
+    try:
+        return shard_map(fn, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - older jax spelling
+        return shard_map(fn, check_rep=False, **kwargs)
+
 from ..ops.densities import Density
 from ..ops.moments import RawMoments
 from .mesh import SAMPLE_AXIS

@@ -142,6 +142,23 @@ def test_oracle_ica_par_matches_jax_fastica():
     w_j, _ = ica_par_jit(jnp.asarray(xw), Tanh(), 10, jnp.asarray(w0))
     np.testing.assert_allclose(np.asarray(w_j), w_o, atol=1e-8)
 
+    # NON-orthogonal init: both sides must project it with the initial
+    # sym_decorrelation the reference applies (solver.rs:224) BEFORE
+    # the fixed-point loop — the oracle used to skip it and silently
+    # ran a different algorithm for exactly this case.
+    rng = np.random.default_rng(17)
+    w0_skew = np.eye(n) + 0.3 * rng.standard_normal((n, n))
+    w_o2 = native.oracle_ica_par(xw, w0_skew, 10, density="tanh")
+    w_j2, _ = ica_par_jit(jnp.asarray(xw), Tanh(), 10, jnp.asarray(w0_skew))
+    np.testing.assert_allclose(np.asarray(w_j2), w_o2, atol=1e-8)
+
+
+def test_oracle_core_rejects_degenerate_params():
+    with pytest.raises(ValueError):
+        native.oracle_core(np.zeros((3, 100)), np.eye(3), ls_tries=0)
+    with pytest.raises(ValueError):
+        native.oracle_core(np.zeros((3, 100)), np.eye(3), m=0)
+
 
 @pytest.mark.parametrize("ortho", [True, False])
 def test_oracle_core_agrees_on_mixed_kurtosis(ortho):
