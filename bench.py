@@ -176,8 +176,26 @@ def _tpu_samples_per_sec() -> tuple:
         return run_core_jit(xw, cov, TOL, 0.01, MAX_ITER, opts)
 
     t0 = time.time()
-    result = run()
-    jax.block_until_ready(result)  # compile + warm
+    try:
+        result = run()
+        jax.block_until_ready(result)  # compile + warm
+    except Exception as e:
+        # Escape hatch for the one Mosaic surface no committed TPU run
+        # has validated yet: the tanh-native f32 delta form
+        # (ops/densities._TANH_NATIVE_DELTA). If its lowering is
+        # rejected, fall back to the round-2-validated exp-based form
+        # and retrace — a slightly slower bench beats a crashed one.
+        from picard_ica_tpu.ops import densities
+
+        if not densities._TANH_NATIVE_DELTA:
+            raise
+        _log(f"core compile/run failed ({type(e).__name__}: {str(e)[:300]})")
+        _log("retrying once with _TANH_NATIVE_DELTA=False (exp-form delta)")
+        densities._TANH_NATIVE_DELTA = False
+        jax.clear_caches()
+        t0 = time.time()
+        result = run()
+        jax.block_until_ready(result)
     warm_s = time.time() - t0
     _log(f"core compile+warm run done in {warm_s:.1f}s "
          f"({int(result.n_iterations)} iters, "

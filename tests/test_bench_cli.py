@@ -66,6 +66,32 @@ def test_bench_whitened_cache_roundtrip(bench, capsys):
     assert second["value"] > 0
 
 
+def test_bench_falls_back_when_core_compile_fails(bench, capsys, monkeypatch):
+    """A Mosaic rejection of the tanh-native delta form must not kill
+    the headline artifact: the first failed compile flips
+    _TANH_NATIVE_DELTA off, clears the jit caches, and retries once
+    (bench.py:_tpu_samples_per_sec)."""
+    import picard_ica_tpu.models.core as core_mod
+    from picard_ica_tpu.ops import densities
+
+    monkeypatch.setattr(densities, "_TANH_NATIVE_DELTA", True)
+    real = core_mod.run_core_jit
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("Mosaic failed to lower tanh (simulated)")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(core_mod, "run_core_jit", flaky)
+    bench.main()
+    rec = _parse_stdout(capsys)
+    assert rec["value"] > 0
+    assert calls["n"] >= 2
+    assert densities._TANH_NATIVE_DELTA is False
+
+
 def test_bench_sigterm_emits_best_so_far(bench, capsys):
     """The driver-timeout path: once _BEST holds a measurement, the
     SIGTERM handler must print the JSON record (bench.py:_on_term
