@@ -94,6 +94,30 @@ def _on_term(signum, frame):  # pragma: no cover - driver-timeout path
 
 signal.signal(signal.SIGTERM, _on_term)
 
+# The SIGTERM handler above only runs while the main thread executes
+# Python bytecode. If the driver's `timeout 590` fires while we are
+# stuck inside an uninterruptible PJRT call (chip acquisition after an
+# outage, a cold remote compile), the handler never gets a chance —
+# and a process that swallows SIGTERM would make plain `timeout` wait
+# forever. A daemon TIMER thread is immune to that failure mode (PJRT
+# blocking calls release the GIL): at T+570 s it emits the best-so-far
+# record and hard-exits, so the driver always gets its exit + whatever
+# JSON exists, before its own 590 s deadline.
+import threading
+
+
+def _deadline():  # pragma: no cover - driver-timeout path
+    _log("570s self-deadline reached; emitting best-so-far and exiting")
+    _emit()
+    os._exit(0 if _BEST else 1)
+
+
+def _start_deadline_timer() -> "threading.Timer":
+    timer = threading.Timer(570.0, _deadline)
+    timer.daemon = True
+    timer.start()
+    return timer
+
 
 def _enable_compilation_cache() -> None:
     """Point JAX at the repo's committed compilation cache.
@@ -262,6 +286,7 @@ def _cpu_numpy_samples_per_sec() -> float:
 
 
 def main():
+    deadline = _start_deadline_timer()
     _log("enabling persistent compilation cache")
     _enable_compilation_cache()
     tpu_sps, iters = _tpu_samples_per_sec()
@@ -278,6 +303,7 @@ def main():
         f"tpu: {tpu_sps:.3e} samples/s/chip ({iters} iters to tol={TOL}) | "
         f"numpy-f64 cpu: {cpu_sps:.3e} samples/s"
     )
+    deadline.cancel()
     _emit()
 
 
