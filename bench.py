@@ -72,27 +72,40 @@ def _log(msg: str) -> None:
     print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+_EMITTED = False
+_EMIT_LOCK = __import__("threading").Lock()
+
+
 def _emit() -> None:
-    """Print the result JSON from the best measurement so far. Called
-    normally at the end, and from the SIGTERM handler so even a run
-    the driver times out leaves a parsable record."""
-    if not _BEST:
-        return
-    print(json.dumps({
-        "metric": "grad_loop_samples_per_sec_per_chip",
-        "value": _BEST["sps"],
-        "unit": "samples/s/chip",
-        "vs_baseline": _BEST["sps"] / _BEST.get("cpu_sps", 2.4e6),
-    }), flush=True)
+    """Print the result JSON from the best measurement so far — at most
+    once per process. Called normally at the end, and from the SIGTERM
+    handler / deadline thread so even a run the driver times out leaves
+    a parsable record. The lock + flag keep the 'exactly one JSON line
+    on stdout' contract when the deadline thread fires concurrently
+    with a normal exit."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED or not _BEST:
+            return
+        _EMITTED = True
+        print(json.dumps({
+            "metric": "grad_loop_samples_per_sec_per_chip",
+            "value": _BEST["sps"],
+            "unit": "samples/s/chip",
+            "vs_baseline": _BEST["sps"] / _BEST.get("cpu_sps", 2.4e6),
+        }), flush=True)
 
 
-def _on_term(signum, frame):  # pragma: no cover - driver-timeout path
-    _log(f"signal {signum} received; emitting best-so-far result")
+def _emit_and_exit(reason: str):  # pragma: no cover - timeout paths
+    """Shared exit path for SIGTERM and the self-deadline thread."""
+    _log(f"{reason}; emitting best-so-far result")
     _emit()
     os._exit(0 if _BEST else 1)
 
 
-signal.signal(signal.SIGTERM, _on_term)
+signal.signal(
+    signal.SIGTERM, lambda signum, frame: _emit_and_exit(f"signal {signum}")
+)
 
 # The SIGTERM handler above only runs while the main thread executes
 # Python bytecode. If the driver's `timeout 590` fires while we are
@@ -106,14 +119,10 @@ signal.signal(signal.SIGTERM, _on_term)
 import threading
 
 
-def _deadline():  # pragma: no cover - driver-timeout path
-    _log("570s self-deadline reached; emitting best-so-far and exiting")
-    _emit()
-    os._exit(0 if _BEST else 1)
-
-
 def _start_deadline_timer() -> "threading.Timer":
-    timer = threading.Timer(570.0, _deadline)
+    timer = threading.Timer(
+        570.0, _emit_and_exit, args=("570s self-deadline reached",)
+    )
     timer.daemon = True
     timer.start()
     return timer
@@ -217,7 +226,9 @@ def _tpu_samples_per_sec() -> tuple:
         _log("retrying once with _TANH_NATIVE_DELTA=False (exp-form delta)")
         densities._TANH_NATIVE_DELTA = False
         jax.clear_caches()
-        t0 = time.time()
+        # Deliberately NOT resetting t0: the degraded lower bound below
+        # must cover the failed attempt's compile time too, or a
+        # driver-timed-out run would overstate its throughput.
         result = run()
         jax.block_until_ready(result)
     warm_s = time.time() - t0
@@ -286,6 +297,8 @@ def _cpu_numpy_samples_per_sec() -> float:
 
 
 def main():
+    global _EMITTED
+    _EMITTED = False  # re-arm: one JSON line per measurement run
     deadline = _start_deadline_timer()
     _log("enabling persistent compilation cache")
     _enable_compilation_cache()

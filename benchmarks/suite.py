@@ -636,10 +636,19 @@ def _parse_cold_phases(stderr: str) -> dict:
     whiten_end = stamps.get("center+whiten")
     if whiten_end is None and "loading cached whitened data" in stderr:
         whiten_end = datagen_end
+    # The Mosaic-fallback path logs "core compile/run failed" BEFORE the
+    # retry's "core compile+warm run done" — both start with the token
+    # "core", and stamping the first would let a budget-busting
+    # failed-attempt+retry escape the guard. Match the done-line only.
+    core_end = None
+    for m in re.finditer(
+        r"\[bench \+\s*([0-9.]+)s\] core compile\+warm run done", stderr
+    ):
+        core_end = float(m.group(1))
     return {
         "datagen": datagen_end,
         "whiten": whiten_end,
-        "core": stamps.get("core"),
+        "core": core_end,
     }
 
 

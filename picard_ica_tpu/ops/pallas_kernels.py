@@ -557,8 +557,12 @@ def covariance_sums(x, interpret: bool = False):
     n, t = x.shape
     # True working set: the x tile (pipeline double-buffered) + its
     # masked copy, and the double-buffered (1, N, N) output block —
-    # far shallower than the fused kernel's default model.
-    bt = _tile_t(n, t, n_bufs=4, n_weights=2)
+    # far shallower than the fused kernel's default model. Two spare
+    # buffers cover the mask iota/bool temps and Mosaic's
+    # beyond-the-model allocations (measured up to ~4.5MB over the
+    # analytic input-side model on the fused kernel at its N cap);
+    # tighten after on-chip calibration at N≈512 (runbook step 12a).
+    bt = _tile_t(n, t, n_bufs=6, n_weights=2)
     if n > _COV_RESIDENT_MAX_N or _resident_partials_bytes(
         pl.cdiv(t, bt), n, 1
     ) > _RESIDENT_PARTIALS_MAX:
@@ -593,8 +597,9 @@ def centered_covariance_sums(x, mean, interpret: bool = False):
     """
     n, t = x.shape
     # x tile (double-buffered) + centered/masked copy + the
-    # double-buffered (1, N, N) output block.
-    bt = _tile_t(n, t, n_bufs=5, n_weights=2)
+    # double-buffered (1, N, N) output block, plus two spares for mask
+    # temps / Mosaic margin (see covariance_sums; calibration pending).
+    bt = _tile_t(n, t, n_bufs=7, n_weights=2)
     if n > _COV_RESIDENT_MAX_N or _resident_partials_bytes(
         pl.cdiv(t, bt), n, 1
     ) > _RESIDENT_PARTIALS_MAX:
@@ -658,9 +663,10 @@ def rotated_loglik_sums(
             m, x, density, need_ysq, interpret=interpret
         )
     # x tile (double-buffered) + masked copy + y + ll + ysq buffers,
-    # one resident M block; the (n_tiles, N, 1) row partials are tiny
-    # (no HBM-partials routing needed).
-    bt = _tile_t(n, t, n_bufs=7, n_weights=1)
+    # one resident M block, plus two spares for mask temps / Mosaic
+    # margin (see covariance_sums; calibration pending); the
+    # (n_tiles, N, 1) row partials are tiny (no HBM-partials routing).
+    bt = _tile_t(n, t, n_bufs=9, n_weights=1)
     n_tiles = pl.cdiv(t, bt)
     dtype = _acc_dtype(x)
 

@@ -30,6 +30,7 @@ def bench(monkeypatch, tmp_path):
     # Redirect .bench_cache/ writes into the test sandbox.
     monkeypatch.setattr(bench_mod, "_REPO", str(tmp_path))
     bench_mod._BEST.clear()
+    bench_mod._EMITTED = False
     return bench_mod
 
 

@@ -111,3 +111,22 @@ def test_parse_cold_phases_whiten_cache_hit(suite):
 def test_parse_cold_phases_missing_forensics(suite):
     ends = suite._parse_cold_phases("no bench lines at all")
     assert ends == {"datagen": None, "whiten": None, "core": None}
+
+
+_FALLBACK_STDERR = """\
+[bench +    0.0s] enabling persistent compilation cache
+[bench +    0.1s] whiten: loading cached whitened data /r/.bench_cache/w.npy
+[bench +    9.3s] devices: [TpuDevice(id=0)]
+[bench +   80.0s] core compile/run failed (InternalError: Mosaic ...)
+[bench +   80.1s] retrying once with _TANH_NATIVE_DELTA=False (exp-form delta)
+[bench +  190.4s] core compile+warm run done in 181.1s (36 iters, ...)
+"""
+
+
+def test_parse_cold_phases_fallback_retry(suite):
+    """The Mosaic-fallback 'core compile/run failed' line also starts
+    with the token 'core'; the phase end must come from the retry's
+    done-line so a budget-busting failed-attempt+recompile can't slip
+    past cold_check."""
+    ends = suite._parse_cold_phases(_FALLBACK_STDERR)
+    assert ends["core"] == pytest.approx(190.4)
