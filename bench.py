@@ -19,9 +19,11 @@ stand-in for the reference's BLAS-backed CPU hot loop.
 Cold-start design (the reference harness is cold-runnable,
 benches/benchmarks.rs:130-141; this must be too):
   * A persistent XLA compilation cache lives at ``.jax_cache/`` in the
-    repo (committed, warmed for the bench shapes) — the axon remote
-    compiler honors it, turning the ~2-4 min cold compile of the
-    whitening + fused core into sub-second cache reads.
+    repo — the axon remote compiler honors it (measured: a cached
+    executable loads in <1 s vs minutes of remote compile), so any
+    successful run warms every later run's compile away. (Warming it
+    for the bench shapes needs the chip; a day-long TPU outage has so
+    far blocked that step — see .scratch/TPU_RUNBOOK.md.)
   * The generated mixture AND its whitened form are cached at
     ``.bench_cache/`` keyed by (n, t, seed) — regeneration costs
     ~30-100 s of single-core LCG, and a whitened-cache hit skips the
