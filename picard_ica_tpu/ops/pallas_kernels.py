@@ -81,12 +81,25 @@ def _dot_bf16x3(a, b, dims, acc):
     if acc == jnp.float64:
         return jax.lax.dot_general(a, b, dims, preferred_element_type=acc,
                                    precision=_HI)
-    a_hi32 = a.astype(jnp.bfloat16).astype(jnp.float32)
-    b_hi32 = b.astype(jnp.bfloat16).astype(jnp.float32)
-    a_hi = a_hi32.astype(jnp.bfloat16)
-    b_hi = b_hi32.astype(jnp.bfloat16)
-    a_lo = (a - a_hi32).astype(jnp.bfloat16)
-    b_lo = (b - b_hi32).astype(jnp.bfloat16)
+    return _dot_bf16x3_presplit(_split_bf16(a), _split_bf16(b), dims, acc)
+
+
+def _split_bf16(v):
+    """(hi, lo) bf16 halves of an f32 operand: hi = bf16(v),
+    lo = bf16(v - f32(hi)) — together ~16 mantissa bits."""
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_bf16x3_presplit(a_pair, b_pair, dims, acc):
+    """The three bf16 MXU passes on already-split operands. Separated
+    from :func:`_dot_bf16x3` so a kernel that feeds the SAME operand to
+    several dots (the delta kernel's X tile enters both rotation dots)
+    can split it once — the split is VPU work inside a VPU-bound
+    kernel, and Mosaic is not guaranteed to CSE the duplicate."""
+    a_hi, a_lo = a_pair
+    b_hi, b_lo = b_pair
 
     def d(p, q):
         return jax.lax.dot_general(p, q, dims, preferred_element_type=jnp.float32)
@@ -748,8 +761,17 @@ def _rotated_fused_kernel(
         # resolves true decreases at any tolerance and one whose
         # accepts go noise-driven below gnorm ~1e-5).
         dm = m_new_ref[...] - m_old_ref[...]
-        y_old = _kernel_dot(m_old_ref[...], x_t, mm_dims, acc, precision)
-        dy = _kernel_dot(dm, x_t, mm_dims, acc, precision)
+        if precision == "bf16x3" and acc != jnp.float64:
+            # One shared bf16 hi/lo split of the X tile feeds both
+            # rotation dots (identical arithmetic to two _kernel_dot
+            # calls, minus the duplicate N x bt split).
+            x_pair = _split_bf16(x_t)
+            y_old = _dot_bf16x3_presplit(
+                _split_bf16(m_old_ref[...]), x_pair, mm_dims, acc)
+            dy = _dot_bf16x3_presplit(_split_bf16(dm), x_pair, mm_dims, acc)
+        else:
+            y_old = _kernel_dot(m_old_ref[...], x_t, mm_dims, acc, precision)
+            dy = _kernel_dot(dm, x_t, mm_dims, acc, precision)
         y_new = y_old + dy
 
         # One fused density call: score/derivative of the candidate and
@@ -949,8 +971,17 @@ def _streaming_fused_kernel(
                 dysq_ref[0] = jnp.zeros_like(dysq_ref[0])
         else:
             dm = m_new_ref[...] - m_old_ref[...]
-            y_old = _kernel_dot(m_old_ref[...], x_t, mm_dims, acc, precision)
-            dy = _kernel_dot(dm, x_t, mm_dims, acc, precision)
+            if precision == "bf16x3" and acc != jnp.float64:
+                # Shared X-tile split — see _rotated_fused_kernel.
+                x_pair = _split_bf16(x_t)
+                y_old = _dot_bf16x3_presplit(
+                    _split_bf16(m_old_ref[...]), x_pair, mm_dims, acc)
+                dy = _dot_bf16x3_presplit(
+                    _split_bf16(dm), x_pair, mm_dims, acc)
+            else:
+                y_old = _kernel_dot(
+                    m_old_ref[...], x_t, mm_dims, acc, precision)
+                dy = _kernel_dot(dm, x_t, mm_dims, acc, precision)
             y_new = y_old + dy
             psi, psi_d, dll = density.score_der_loglik_delta(y_old, dy)
             if t % bt != 0:

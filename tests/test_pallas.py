@@ -322,3 +322,25 @@ def test_centered_covariance_matches_dense():
         np.testing.assert_allclose(
             np.asarray(cov), xc @ xc.T, rtol=1e-9, atol=1e-9
         )
+
+
+def test_dot_bf16x3_presplit_bit_identical():
+    """The shared-split fast path (one X-tile split feeding both
+    rotation dots of the delta kernel) must be BIT-identical to the
+    plain 3-pass bf16 dot — same splits, same three MXU passes, same
+    fold order."""
+    from picard_ica_tpu.ops.pallas_kernels import (
+        _dot_bf16x3,
+        _dot_bf16x3_presplit,
+        _split_bf16,
+    )
+
+    rng = np.random.default_rng(13)
+    a = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((16, 32)).astype(np.float32))
+    dims = (((1,), (0,)), ((), ()))
+    plain = _dot_bf16x3(a, b, dims, jnp.float32)
+    pre = _dot_bf16x3_presplit(
+        _split_bf16(a), _split_bf16(b), dims, jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(pre))
