@@ -73,6 +73,69 @@ def generate_bench_data(n_features: int, n_samples: int, seed: int = 42) -> np.n
     return mixing @ data
 
 
+def _lcg_jump(state: int, count: int) -> int:
+    """LCG state after ``count`` steps, in O(log count) host work.
+
+    Binary composition of the affine map f(s) = A*s + 1 mod 2^64 —
+    bit-identical to ``_lcg_stream(state, count)[1]`` (tested) without
+    materializing the stream. Lets the bench take the *mixing* block of
+    the reference stream (benches/benchmarks.rs:27-31) without paying
+    for the n*t source draws it sits behind.
+    """
+    m = 1 << 64
+    a, c = int(_LCG_MUL), int(_LCG_INC)
+    acc_a, acc_c = 1, 0
+    k = count
+    while k:
+        if k & 1:
+            acc_a, acc_c = (acc_a * a) % m, (acc_c * a + c) % m
+        a, c = (a * a) % m, (a * c + c) % m
+        k >>= 1
+    return (acc_a * state + acc_c) % m
+
+
+def reference_mixing_matrix(n_features: int, n_samples: int, seed: int = 42) -> np.ndarray:
+    """The reference harness's uniform(-0.5, 0.5) mixing matrix,
+    bit-exact: the LCG is jumped past the n*t source draws in closed
+    form, then the n*n mixing block is drawn from the exact stream
+    position the Rust harness uses (benches/benchmarks.rs:27-31)."""
+    state = _lcg_jump(seed, n_features * n_samples)
+    states, _ = _lcg_stream(state, n_features * n_features)
+    return _lcg_uniform(states).reshape(n_features, n_features) - 0.5
+
+
+def generate_bench_data_device(
+    n_features: int, n_samples: int, seed: int = 42
+):
+    """On-device f32 bench mixture with the reference harness's
+    distributions (benches/benchmarks.rs:8-35).
+
+    Sources are standard Laplace — the same law as the reference's
+    inverse-CDF construction (benchmarks.rs:18-24) — drawn with JAX's
+    threefry PRNG on the accelerator, because host LCG generation of
+    n*t samples is O(minutes) of single-core work while the device does
+    it in milliseconds. The mixing matrix IS the bit-exact reference
+    stream block (:func:`reference_mixing_matrix`). Returns a committed
+    device array of shape (n_features, n_samples).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    mixing = jnp.asarray(
+        reference_mixing_matrix(n_features, n_samples, seed), dtype=jnp.float32
+    )
+
+    @jax.jit
+    def _gen(mixing_dev):
+        key = jax.random.PRNGKey(seed)
+        sources = jax.random.laplace(
+            key, (n_features, n_samples), dtype=jnp.float32
+        )
+        return jnp.dot(mixing_dev, sources, precision=jax.lax.Precision.HIGHEST)
+
+    return _gen(mixing)
+
+
 def generate_test_data(n: int, t: int, seed: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Seeded (sources, mixing, mixed) fixture (solver.rs:257-286)."""
     rng = np.random.default_rng(seed)

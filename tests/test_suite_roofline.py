@@ -74,38 +74,21 @@ def test_roofline_fracs_skips_cpu_backend(suite, monkeypatch):
     assert "mxu_frac_of_bf16_peak" not in rec
 
 
-_MISS_STDERR = """\
+_COLD_STDERR = """\
 [bench +    0.0s] enabling persistent compilation cache
-[bench +    0.1s] datagen: loading cached mixture /r/.bench_cache/mix.npy
-[bench +    8.2s] devices: [TpuDevice(id=0)]
-[bench +   41.9s] center+whiten done in 33.7s
-[bench +   47.0s] whiten: cached whitened data for future cold runs
-[bench +  112.5s] core compile+warm run done in 65.5s (36 iters, ...)
-"""
-
-_HIT_STDERR = """\
-[bench +    0.0s] enabling persistent compilation cache
-[bench +    0.1s] whiten: loading cached whitened data /r/.bench_cache/w.npy
-[bench +    9.3s] devices: [TpuDevice(id=0)]
-[bench +   74.8s] core compile+warm run done in 65.5s (36 iters, ...)
+[bench +   10.2s] devices: [TpuDevice(id=0)]
+[bench +   10.2s] datagen: generating 64x4000000 Laplace mixture on device
+[bench +   12.1s] datagen: done in 1.9s
+[bench +   18.4s] center+whiten done in 6.3s
+[bench +   29.5s] core compile+warm run done in 11.1s (35 iters, ...)
 """
 
 
-def test_parse_cold_phases_whiten_miss(suite):
-    ends = suite._parse_cold_phases(_MISS_STDERR)
-    assert ends == {"datagen": pytest.approx(8.2),
-                    "whiten": pytest.approx(41.9),
-                    "core": pytest.approx(112.5)}
-
-
-def test_parse_cold_phases_whiten_cache_hit(suite):
-    """The cached-whiten bench path logs no 'center+whiten' stamp; the
-    whiten phase must parse as zero-duration, not missing (it used to
-    fail cold_check on exactly the steady-state cached cold start)."""
-    ends = suite._parse_cold_phases(_HIT_STDERR)
-    assert ends["datagen"] == pytest.approx(9.3)
-    assert ends["whiten"] == pytest.approx(9.3)  # ends with datagen
-    assert ends["core"] == pytest.approx(74.8)
+def test_parse_cold_phases(suite):
+    ends = suite._parse_cold_phases(_COLD_STDERR)
+    assert ends == {"datagen": pytest.approx(12.1),
+                    "whiten": pytest.approx(18.4),
+                    "core": pytest.approx(29.5)}
 
 
 def test_parse_cold_phases_missing_forensics(suite):
@@ -115,8 +98,10 @@ def test_parse_cold_phases_missing_forensics(suite):
 
 _FALLBACK_STDERR = """\
 [bench +    0.0s] enabling persistent compilation cache
-[bench +    0.1s] whiten: loading cached whitened data /r/.bench_cache/w.npy
 [bench +    9.3s] devices: [TpuDevice(id=0)]
+[bench +    9.3s] datagen: generating 64x4000000 Laplace mixture on device
+[bench +   11.0s] datagen: done in 1.7s
+[bench +   17.2s] center+whiten done in 6.2s
 [bench +   80.0s] core compile/run failed (InternalError: Mosaic ...)
 [bench +   80.1s] retrying once with _TANH_NATIVE_DELTA=False (exp-form delta)
 [bench +  190.4s] core compile+warm run done in 181.1s (36 iters, ...)
