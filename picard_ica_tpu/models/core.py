@@ -1091,14 +1091,18 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
             kernel_precision=precision,
             # Non-final tiers bail to the next tier on a gradient
             # plateau (their noise floor is data-dependent) and cap
-            # BOTH line searches at 3 tries — every try is a full
-            # pass over X and a noisy tier's deep backtracking is pure
-            # waste; the final tier honors reference semantics (run to
-            # max_iter, ls_tries, 10 fallback tries).
+            # the FALLBACK line search at 3 tries. The PRIMARY search
+            # keeps its full budget: a primary failure near the floor
+            # is the tier-exit signal (see _iteration_body), so a
+            # capped primary MANUFACTURES failures and hands off to a
+            # tier 1.4-1.6x costlier per call while the cheap tier is
+            # still productive. Measured on-chip (N=64, T=4M, tanh
+            # extended ortho): cap=3 exits bf16 at iteration 9 and
+            # lands at 0.46 s/fit; full budget runs bf16 for 32 of 35
+            # iterations at 0.25 s/fit — the round-3 cap was a 1.85x
+            # wall-time regression. The final tier honors reference
+            # semantics (run to max_iter, ls_tries, 10 fallback tries).
             stage_patience=0 if final_stage else (opts.stage_patience or 10),
-            ls_tries=(
-                opts.ls_tries if final_stage else min(opts.ls_tries, 3)
-            ),
             fallback_ls_tries=(
                 opts.fallback_ls_tries if final_stage
                 else min(opts.fallback_ls_tries, 3)

@@ -111,12 +111,19 @@ def generate_bench_data_device(
     distributions (benches/benchmarks.rs:8-35).
 
     Sources are standard Laplace — the same law as the reference's
-    inverse-CDF construction (benchmarks.rs:18-24) — drawn with JAX's
-    threefry PRNG on the accelerator, because host LCG generation of
-    n*t samples is O(minutes) of single-core work while the device does
-    it in milliseconds. The mixing matrix IS the bit-exact reference
-    stream block (:func:`reference_mixing_matrix`). Returns a committed
-    device array of shape (n_features, n_samples).
+    inverse-CDF construction (benchmarks.rs:18-24) — drawn with the
+    ``rbg`` PRNG (XLA's native RngBitGenerator, hardware RNG on TPU),
+    because host LCG generation of n*t samples is O(minutes) of
+    single-core work while the device does it in milliseconds.
+    ``rbg`` rather than the default threefry: the software threefry
+    program takes 2-6 MINUTES of server-side build on this
+    environment's remote-compile tunnel on every fresh process (the
+    persistent cache's client-side hit does not avoid it — measured
+    compile() 0.1 s, first execute 382 s), while the rbg program
+    builds in ~11 s cold and loads warm instantly. The mixing matrix
+    IS the bit-exact reference stream block
+    (:func:`reference_mixing_matrix`). Returns a committed device
+    array of shape (n_features, n_samples).
     """
     import jax
     import jax.numpy as jnp
@@ -127,7 +134,7 @@ def generate_bench_data_device(
 
     @jax.jit
     def _gen(mixing_dev):
-        key = jax.random.PRNGKey(seed)
+        key = jax.random.key(seed, impl="rbg")
         sources = jax.random.laplace(
             key, (n_features, n_samples), dtype=jnp.float32
         )
