@@ -128,3 +128,54 @@ def test_pure_python_fallback_matches_native():
     rng = rr.StdRng(99)
     py = np.array([rr.standard_normal(rng) for _ in range(64)]).reshape(8, 8)
     assert (rr.normal_matrix(99, 8, 8) == py).all()
+
+
+def test_chacha12_estream_zero_key_keystream():
+    """The 12-round core against the published eSTREAM/djb ChaCha12
+    test vector (256-bit all-zero key, all-zero IV) — the same vector
+    rand_chacha's own test suite pins its ChaCha12 implementation to.
+    This is the evidence the RFC 8439 test (20 rounds, IETF layout)
+    cannot give: the exact round count StdRng uses, the djb 64-bit
+    counter/nonce layout, and the counter increment (block 1)."""
+    kw = np.zeros(8, dtype=np.uint32)
+    stream = rr._chacha_blocks(kw, 0, 2, rounds=12).astype("<u4").tobytes()
+    assert stream[:32].hex() == (
+        "9bf49a6a0755f953811fce125f2683d5"
+        "0429c3bb49e074147e0089a52eae155f"
+    )
+    assert stream[64:80].hex() == "0bd58841203e74fe86fc71338ce0173d"
+    # ChaCha8 / ChaCha20 from the same parametric core: pins that the
+    # `rounds` knob is genuinely double-rounds/2 and not off by one.
+    b8 = rr._chacha_blocks(kw, 0, 1, rounds=8).astype("<u4").tobytes()
+    assert b8[:16].hex() == "3e00ef2f895f40d67f5bb8e81f09a5a1"
+    b20 = rr._chacha_blocks(kw, 0, 1, rounds=20).astype("<u4").tobytes()
+    assert b20[:16].hex() == "76b8e0ada0f13d90405d6ae55386bd28"
+
+
+# Frozen stream goldens: the composed seed_from_u64 -> ChaCha12 ->
+# ziggurat pipeline for three seeds, captured from the (bit-agreeing)
+# Python and C++ twins. They pin the COMPOSITION — word order at the
+# u64 join, buffer refill boundaries, table indexing — so any future
+# "cleanup" that silently shifts the stream fails loudly here.
+_GOLDEN_U64 = {
+    0: (0xBB2A3FB2CD2C6F7F, 0xC6017C948E27697B, 0x069DC102CF310A16),
+    42: (0x86CC7763222724A2, 0x8AF00A133FAD517D, 0xA2EF6071DE5134D1),
+    123456789: (0xFB55B38845AAEAF1, 0x58F8532561F1F85B, 0x3D13E8C6CB4D4795),
+}
+
+
+def test_stream_goldens_u64():
+    for seed, expected in _GOLDEN_U64.items():
+        rng = rr.StdRng(seed)
+        got = tuple(rng.next_u64() for _ in range(3))
+        assert got == expected, (seed, tuple(hex(v) for v in got))
+
+
+def test_stream_goldens_normals():
+    rng = rr.StdRng(42)
+    got = np.array([rr.standard_normal(rng) for _ in range(4)])
+    expected = np.array([
+        0.06942791836196335, 0.13293812199412544,
+        0.2625763573739537, -0.22530087839099155,
+    ])
+    assert (got == expected).all(), got.tolist()
