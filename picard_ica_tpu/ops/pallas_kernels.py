@@ -435,13 +435,20 @@ _COV_RESIDENT_MAX_N = 512  # verified per-tile-partials cap (v5e)
 
 
 def _cov_bt(n: int) -> int:
-    """T-tile for the grouped covariance kernels (N > 512): VMEM holds
-    the double-buffered x tile, the (N, N) accumulator block and the
-    dot temporaries."""
-    avail = _VMEM_BUDGET - n * n * 4
+    """T-tile for the grouped covariance kernels (N > 512).
+
+    Chip-calibrated round 4: the original model (1x accumulator +
+    3 (N, bt) buffers) VMEM-OOMed on the v5e at N=600 x T=1M — Mosaic's
+    actual scoped allocation was 21.37 MB at bt=1408 vs the 16 MB
+    limit, i.e. ~2 accumulator copies plus ~6 (N, bt)-scale buffers
+    (x double-buffer, centered/masked copy, mask iota/bool temps, dot
+    staging). The budget now charges both, re-verified on chip at
+    N=600 and at the model's max N (benchmarks/whiten_accuracy_r4.json).
+    """
+    avail = _VMEM_BUDGET - 2 * n * n * 4
     if avail <= 0:
         return 0
-    return min(2048, avail // (3 * n * 4)) // 128 * 128
+    return min(2048, avail // (6 * n * 4)) // 128 * 128
 
 
 def max_pallas_cov_n() -> int:

@@ -188,13 +188,15 @@ def whitening_matrix_from_covariance(cov, n_samples: int, n_components: int):
 
     scale = np.sqrt(np.float64(n_samples))
     k = (u / s[None, :]).T * scale  # (k, n_features)
+    return k * _matlab_row_signs(k), min_sv
 
-    # Deterministic sign: flip rows whose largest-|entry| is negative
-    # (whitening.rs:92-107, "MATLAB convention").
+
+def _matlab_row_signs(k: np.ndarray) -> np.ndarray:
+    """Deterministic sign column: flip rows whose largest-|entry| is
+    negative (whitening.rs:92-107, "MATLAB convention")."""
     max_idx = np.argmax(np.abs(k), axis=1)
     row_sign = np.sign(np.take_along_axis(k, max_idx[:, None], axis=1))
-    row_sign = np.where(row_sign == 0, 1.0, row_sign)
-    return k * row_sign, min_sv
+    return np.where(row_sign == 0, 1.0, row_sign)
 
 
 @jax.jit
@@ -304,6 +306,65 @@ def _warn_if_lossy_cov(x, impl: str) -> None:
         )
 
 
+def _refine_whitening(x1, k: np.ndarray, n_samples: int):
+    """One step of iterative re-whitening for the f32 device path.
+
+    Chip measurement (benchmarks/whiten_accuracy_r4.json, N=600 x T=1M
+    Laplace mixture): even the accurate grouped-Pallas covariance
+    (norm-relative error 4.3e-8, ~f32 output quantization — 500x below
+    the single-dot fallback) leaves the first-pass K whitening the
+    true covariance only to 0.12 max residual, because ill-conditioned
+    mixtures (cond(C) ~ 1e6 there) amplify NORM-scale covariance noise
+    into the small eigendirections. No f32-valued covariance can beat
+    this — the quantization of C alone is eps_f32 * ||C||, i.e.
+    eps_f32 * cond(C) relative to the smallest eigenvalue. The fix is
+    not higher-precision accumulation but a second measurement in the
+    whitened basis, where the covariance is near-identity (cond ~ 1):
+    measure C2 = X1 X1^T of the projected data, form its HOST-f64
+    symmetric inverse square root R = C2^{-1/2} (symmetric — the PCA
+    whitener of a near-identity matrix is an arbitrary rotation and
+    would scramble the component order), and compose K <- R K. The
+    same norm-scale measurement error now lands on a cond~1 matrix,
+    so the residual drops to the measurement floor (~1e-7 on the
+    grouped kernel; ~3e-5 even via the beyond-cap single dot).
+    Reference anchor: whitening.rs:61-90 is all-f64 — this is the TPU
+    route to not silently losing those digits.
+
+    Returns ``(x1_refined, k_refined)``; on any numerical trouble in
+    the refinement eigh the inputs are returned unchanged (the
+    first-pass K is already rank-validated).
+    """
+    cov2 = np.asarray(
+        _covariance_impl(x1, _cov_impl_for(x1)), np.float64
+    ) / float(n_samples)
+    try:
+        w, u = np.linalg.eigh(cov2)
+    except np.linalg.LinAlgError:  # pragma: no cover - guarded fallback
+        return x1, k
+    if not np.all(np.isfinite(w)) or w[-1] <= 0 or w[0] <= 1e-6 * w[-1]:
+        # A grossly non-white first pass means the first K was already
+        # untrustworthy; refinement on garbage would hide that.
+        return x1, k  # pragma: no cover - requires pathological input
+    r = (u / np.sqrt(w)) @ u.T  # symmetric C2^{-1/2}, f64
+    k_ref = r @ np.asarray(k, np.float64)
+    signs = _matlab_row_signs(k_ref)
+    k_ref *= signs
+    rs = jnp.asarray(signs * r, x1.dtype)
+    return _rotate_rows(rs, x1), k_ref
+
+
+@jax.jit
+def _rotate_rows(r, x1):
+    return jnp.dot(r, x1, precision=_HI)
+
+
+def _should_refine(x) -> bool:
+    """Refine exactly when the accuracy machinery applies: f32 data at
+    scale (the f64 covariance path is already exact to input
+    precision, and tiny-T fits are quantization-dominated anyway)."""
+    return x.dtype == jnp.float32 and x.shape[1] > 2048
+
+
 def whiten(x, n_components: int) -> WhiteningResult:
     """PCA-whiten centered data (eager; raises on singular data).
 
@@ -322,12 +383,13 @@ def whiten(x, n_components: int) -> WhiteningResult:
     k, min_sv = whitening_matrix_from_covariance(cov, n_samples, n_components)
     if k is None or min_sv < _MIN_SINGULAR_VALUE:
         raise SingularMatrixError()
-    k = jnp.asarray(k, x.dtype)
+    kd = jnp.asarray(k, x.dtype)
+    x1 = jnp.dot(kd, x, precision=_HI)
+    if _should_refine(x):
+        x1, k = _refine_whitening(x1, k, n_samples)
+        kd = jnp.asarray(k, x.dtype)
 
-    return WhiteningResult(
-        data=jnp.dot(k, x, precision=_HI),
-        whitening_matrix=k,
-    )
+    return WhiteningResult(data=x1, whitening_matrix=kd)
 
 
 @functools.partial(
@@ -397,6 +459,9 @@ def center_whiten(
         raise SingularMatrixError()
     kd = jnp.asarray(k, x.dtype)
     x1 = _project_centered(kd, x, mean, centering)
+    if _should_refine(x):
+        x1, k = _refine_whitening(x1, k, n_samples)
+        kd = jnp.asarray(k, x.dtype)
     return x1, mean, kd
 
 

@@ -34,6 +34,13 @@ from .ops.linalg import _SYM_DECORR_MIN_EIG, sym_decorrelation_with_mineig
 from .ops.whitening import _HOST_F64_MAX_ELEMENTS, center_whiten, preprocess_f64
 from .results import PicardResult
 
+# Largest N the auto-router sends to the fused Pallas kernels — the
+# chip-measured Pallas/XLA crossover (see the routing comment in
+# fit_with_config and benchmarks/large_n_trace_r4*.json). Above it the
+# fused step is MXU-bound and the XLA path's GEMMs win at every
+# measured size, including the streaming-W kernels' whole range.
+_PALLAS_AUTO_MAX_N = 256
+
 try:  # jax >= 0.4 namespace
     from jax.sharding import NamedSharding, PartitionSpec
 except ImportError:  # pragma: no cover
@@ -244,20 +251,23 @@ class Picard:
 
         use_pallas = config.use_pallas
         if use_pallas is None:
-            # Fused kernels are the fast path on TPU; elsewhere the XLA
-            # path is both faster and f64-capable. Up to max_fused_n the
-            # resident-W kernels apply; beyond that the kernels dispatch
-            # internally to the streaming-W variant (weights in (128, N)
-            # row blocks, G/H accumulated in VMEM across tile groups) up
-            # to max_streaming_n; larger still routes to the XLA path,
-            # which GSPMD handles (MXU-bound at those sizes; trace
-            # evidence in benchmarks/large_n_trace.py).
-            from .ops.pallas_kernels import max_fused_n, max_streaming_n
-
+            # Fused kernels are the fast path on TPU while the step is
+            # HBM-bound (X read once per line-search try vs the XLA
+            # path's 3-6 X-sized reads); once the step turns MXU-bound
+            # XLA's GEMM scheduling wins outright. Chip-measured
+            # crossover (benchmarks/large_n_trace_r4*.json, f32 delta
+            # ms/call Pallas vs XLA): N=128 6.2/6.8, 192 5.7/6.6,
+            # 256 8.4/8.9, 384 7.2/6.8, 512 14.0/11.4, and the
+            # streaming-W variant loses at every N in its range
+            # (640-1024: 65-78% of MXU peak vs XLA's 79-95%) — so the
+            # auto route is Pallas up to the measured crossover and
+            # XLA beyond it. Explicit use_pallas=True still reaches
+            # the resident (N<=512) and streaming-W (N<=~900/1150)
+            # kernels. Elsewhere the XLA path is both faster and
+            # f64-capable.
             use_pallas = (
                 jax.default_backend() == "tpu"
-                and actual_components
-                <= max(max_fused_n(), max_streaming_n(need_h=not config.ortho))
+                and actual_components <= _PALLAS_AUTO_MAX_N
             )
 
         opts = CoreOptions(

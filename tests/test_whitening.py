@@ -328,3 +328,67 @@ def test_covariance_wrappers_dispatch_grouped():
         np.asarray(centered_covariance_sums(x, mean, interpret=True)),
         xc @ xc.T, rtol=1e-12, atol=1e-8,
     )
+
+
+def test_iterative_rewhitening_reaches_functional_whiteness():
+    """The f32 device path's one-step re-whitening (VERDICT r3 item 4,
+    chip exhibit: benchmarks/whiten_accuracy_r4.json).
+
+    An ill-conditioned mixture amplifies norm-scale covariance noise
+    by cond(C) into the small eigendirections: the FIRST-pass K
+    whitens the true covariance only to percent-or-worse residual no
+    matter how accurate the f32 covariance kernel is (its own f32
+    quantization is eps*cond relative to the smallest eigenvalue).
+    After composing the host-f64 symmetric inverse square root of the
+    re-measured (near-identity, cond~1) covariance, the residual must
+    drop to the measurement floor.
+    """
+    from picard_ica_tpu.ops.whitening import (
+        center_whiten,
+        whitening_matrix_from_covariance,
+    )
+
+    rng = np.random.default_rng(1)
+    n, t = 300, 120_000
+    s = rng.laplace(size=(n, t))
+    x64 = rng.standard_normal((n, n)) @ s
+    x64 -= x64.mean(axis=1, keepdims=True)
+    cov64 = x64 @ x64.T
+
+    x1, _, k = center_whiten(jnp.asarray(x64.astype(np.float32)), n)
+    k = np.asarray(k, np.float64)
+    resid = np.abs(k @ (cov64 / t) @ k.T - np.eye(n)).max()
+    assert resid < 1e-3, f"refined whiten residual {resid:.2e}"
+
+    # The emitted data itself is white (the property the core loop's
+    # orthogonal constraint assumes).
+    x1_64 = np.asarray(x1, np.float64)
+    self_white = np.abs(x1_64 @ x1_64.T / t - np.eye(n)).max()
+    assert self_white < 1e-4, f"output self-whiteness {self_white:.2e}"
+
+    # Contrast: the unrefined first-pass K at the same scale misses by
+    # orders of magnitude (this is what made refinement necessary).
+    cov32 = (x64.astype(np.float32) @ x64.astype(np.float32).T).astype(
+        np.float64)
+    k1, _ = whitening_matrix_from_covariance(cov32, t, n)
+    if k1 is not None:  # the fallback can outright fail the rank test
+        resid1 = np.abs(k1 @ (cov64 / t) @ k1.T - np.eye(n)).max()
+        assert resid1 > 10 * resid
+
+
+def test_refinement_skips_f64_and_tiny_t():
+    """f64 inputs (already exact to input precision) and tiny-T data
+    must not pay the second pass: K equals the single-pass construction
+    exactly."""
+    from picard_ica_tpu.ops.whitening import (
+        center_whiten,
+        whitening_matrix_from_covariance,
+    )
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((5, 1500))  # f64, t <= 2048
+    x -= x.mean(axis=1, keepdims=True)
+    _, _, k = center_whiten(jnp.asarray(x), 5)
+    k_ref, _ = whitening_matrix_from_covariance(x @ x.T, 1500, 5)
+    np.testing.assert_allclose(np.asarray(k, np.float64), k_ref,
+                               rtol=1e-12, atol=1e-12)
