@@ -264,13 +264,42 @@ def _cpu_numpy_samples_per_sec() -> float:
     return t * reps / elapsed
 
 
+def _tpu_samples_per_sec_with_retry() -> tuple:
+    """One retry after a TPU worker crash.
+
+    This environment's chip sporadically dies mid-process
+    ("FAILED_PRECONDITION: TPU backend error", watchdog kills after
+    heavy compile sessions — observed round 4); the next client
+    re-acquires it in ~30-60 s. The driver runs bench.py exactly once,
+    so a transient crash must not void the round's record: drop the
+    poisoned PJRT client, let the backend rebuild, and re-measure."""
+    try:
+        return _tpu_samples_per_sec()
+    except Exception as e:  # pragma: no cover - needs a real chip crash
+        _log(f"TPU attempt failed ({type(e).__name__}: {str(e)[:200]})")
+        if time.time() - _T0 > _BUDGET_S - 120:
+            raise  # no time for a re-acquire + full retry
+        _log("rebuilding the TPU backend and retrying once")
+        import jax
+
+        try:
+            from jax._src import xla_bridge
+
+            xla_bridge._clear_backends()
+        except Exception as clear_err:
+            _log(f"backend clear failed ({clear_err}); retrying anyway")
+        jax.clear_caches()
+        time.sleep(30.0)
+        return _tpu_samples_per_sec()
+
+
 def main():
     global _EMITTED
     _EMITTED = False  # re-arm: one JSON line per measurement run
     deadline = _start_deadline_timer()
     _log("enabling persistent compilation cache")
     _enable_compilation_cache()
-    tpu_sps, iters = _tpu_samples_per_sec()
+    tpu_sps, iters = _tpu_samples_per_sec_with_retry()
     if time.time() - _T0 < _BUDGET_S:
         _log("running NumPy f64 CPU baseline")
         cpu_sps = _cpu_numpy_samples_per_sec()
