@@ -490,14 +490,16 @@ def group_baseline_configs(records, reps, quick):
 
     # Config 5 at single-chip max T. Full scale is 256 x 10M across a
     # multi-host mesh (T shards linearly, one ~17 KB psum per pass);
-    # this row runs the largest T one v5e chip's 16 GB HBM holds with
-    # headroom. The binding peak is the whitening REFINEMENT pass
-    # (_should_refine at f32 scale): mixture + first projection +
-    # re-projection = 3 live f32 (N, T) copies — 12.3 GB at T=4M
-    # (T=6M OOM'd here: 18.4 GB). The core stage then holds whitened +
-    # the bf16-stage copy (1.5 x 4.1 GB). Data is generated on device
-    # (host LCG at 1e9 samples is O(hour) of single-core work; the rbg
-    # mixture is bench.py's own datagen path, utils/datagen.py:107).
+    # this row runs the largest T one v5e chip holds. Measured memory
+    # anatomy (round 4): whitening peaks at 2 live f32 (N, T) copies
+    # (mixture + projection — the refinement re-projection rotates IN
+    # PLACE via ops/whitening._rotate_rows_inplace; the pre-fix
+    # 3-copy peak OOM'd at T=6M and whitening now passes 256x6M), so
+    # the BINDING phase is the core program: whitened X + the
+    # bf16-stage copy + the materialized result Y (2.5 copies,
+    # reference-parity sources output) + the fused kernel's bounded
+    # HBM moment partials — T=4M fits, T=5M does not (chip-probed;
+    # the single-allocation arena itself is >= 13 GB).
     if on_tpu and not quick:
         from picard_ica_tpu.ops.whitening import center_whiten
         from picard_ica_tpu.utils.datagen import generate_bench_data_device

@@ -350,12 +350,68 @@ def _refine_whitening(x1, k: np.ndarray, n_samples: int):
     signs = _matlab_row_signs(k_ref)
     k_ref *= signs
     rs = jnp.asarray(signs * r, x1.dtype)
-    return _rotate_rows(rs, x1), k_ref
+    return _rotate_rows_dispatch(rs, x1), k_ref
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(1,))
 def _rotate_rows(r, x1):
+    # x1 is an internal temporary (the pre-refinement projection) that
+    # every caller discards, so it is donated — but XLA does NOT alias
+    # a GEMM's output onto a donated operand (measured: 256x6M with a
+    # data-sized ballast still OOMs), so this path keeps a 2-buffer
+    # peak. Single-device callers get the truly in-place variant below.
     return jnp.dot(r, x1, precision=_HI)
+
+
+# Column-block width of the in-place rotation: (N, 2^20) f32 blocks are
+# 256 MB at N=64 / 1 GB at N=256 — large enough that the per-block GEMM
+# runs at full MXU utilization, small next to the (N, T) buffer.
+_ROTATE_BLOCK_T = 1 << 20
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def _rotate_rows_inplace(r, x1):
+    """``r @ x1`` overwriting ``x1``'s buffer (single-device arrays).
+
+    A donated plain dot cannot alias (see :func:`_rotate_rows`), which
+    made the whitening pipeline peak at THREE data-sized f32 buffers —
+    the measured single-chip max-T ceiling (256x6M = 18.4 GB OOMs on
+    v5e's 16 GB). Rotating column blocks inside one jitted fori_loop
+    and writing each back with ``dynamic_update_slice`` on the donated
+    carry IS aliased by XLA, holding the peak at one data buffer plus
+    one block. The rotation contracts over rows only, so blockwise
+    results are bit-identical to the full dot (same per-element
+    reduction order).
+    """
+    n, t = x1.shape
+    block = min(_ROTATE_BLOCK_T, t)
+    n_full = t // block
+
+    def body(i, buf):
+        sl = jax.lax.dynamic_slice(buf, (0, i * block), (n, block))
+        return jax.lax.dynamic_update_slice(
+            buf, jnp.dot(r, sl, precision=_HI), (0, i * block)
+        )
+
+    buf = jax.lax.fori_loop(0, n_full, body, x1)
+    rem = t - n_full * block
+    if rem:
+        sl = jax.lax.slice(buf, (0, n_full * block), (n, t))
+        buf = jax.lax.dynamic_update_slice(
+            buf, jnp.dot(r, sl, precision=_HI), (0, n_full * block)
+        )
+    return buf
+
+
+def _rotate_rows_dispatch(r, x1):
+    """In-place rotation for single-device data; plain dot otherwise
+    (a T-sharded GSPMD array must not be column-block-sliced — that
+    would lower to cross-device gathers)."""
+    if isinstance(
+        getattr(x1, "sharding", None), jax.sharding.SingleDeviceSharding
+    ):
+        return _rotate_rows_inplace(r, x1)
+    return _rotate_rows(r, x1)
 
 
 def _should_refine(x) -> bool:

@@ -392,3 +392,52 @@ def test_refinement_skips_f64_and_tiny_t():
     k_ref, _ = whitening_matrix_from_covariance(x @ x.T, 1500, 5)
     np.testing.assert_allclose(np.asarray(k, np.float64), k_ref,
                                rtol=1e-12, atol=1e-12)
+
+
+def test_inplace_rotation_matches_full_dot_bitwise():
+    """The refinement's in-place column-block rotation must be
+    BIT-identical to the plain dot it replaces (the rotation contracts
+    over rows only, so blockwise evaluation preserves each element's
+    reduction order) — including at T that is not a multiple of the
+    block width, and at T below one block."""
+    from picard_ica_tpu.ops.whitening import (
+        _HI,
+        _ROTATE_BLOCK_T,
+        _rotate_rows_inplace,
+    )
+
+    rng = np.random.default_rng(3)
+    for n, t in [(4, 100), (8, _ROTATE_BLOCK_T + 777), (8, _ROTATE_BLOCK_T)]:
+        r = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+        x = jnp.asarray(rng.standard_normal((n, t)), jnp.float32)
+        want = np.asarray(jnp.dot(r, x, precision=_HI))
+        got = np.asarray(_rotate_rows_inplace(r, x.copy()))
+        assert np.array_equal(got, want), (n, t)
+
+
+def test_refinement_dispatch_prefers_inplace_on_single_device():
+    """Single-device projections route through the in-place rotation
+    (the 3-buffer peak of the donated plain dot was the measured
+    single-chip max-T ceiling); sharded arrays keep the plain dot
+    (column-block slicing a T-sharded array would gather across
+    devices)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from picard_ica_tpu.ops.whitening import _rotate_rows_dispatch
+    from picard_ica_tpu.parallel import sample_mesh
+
+    rng = np.random.default_rng(4)
+    r = jnp.asarray(rng.standard_normal((4, 4)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, 4096)), jnp.float32)
+    want = np.asarray(jnp.dot(r, x, precision=jax.lax.Precision.HIGHEST))
+
+    got_single = np.asarray(_rotate_rows_dispatch(r, x.copy()))
+    assert np.array_equal(got_single, want)
+
+    mesh = sample_mesh()
+    sharded = jax.device_put(
+        x, NamedSharding(mesh, PartitionSpec(None, "samples"))
+    )
+    got_sharded = np.asarray(_rotate_rows_dispatch(r, sharded))
+    np.testing.assert_allclose(got_sharded, want, rtol=1e-6, atol=1e-6)
