@@ -114,6 +114,14 @@ class CoreOptions:
     # passes over X per iteration.
     # STAGE-MANAGED like plain_ls (True for every non-final tier).
     adaptive_alpha: bool = False
+    # The caller donates X (run_core_jit_donated) and does not reuse it:
+    # the final Y = W @ X is then written back THROUGH X's buffer via
+    # the blockwise in-place rotation (ops/linalg.
+    # rotate_rows_inplace_blocks — bit-identical to the full dot),
+    # removing one data-sized output allocation from the program peak.
+    # Single-device only (the solver sets it when unsharded); ignored
+    # under data_sharding.
+    donate_data: bool = False
 
 
 class LbfgsMemory(NamedTuple):
@@ -1209,8 +1217,16 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
     final = state
 
     # Materialize the sources once, at the end (the reference rewrites
-    # them every iteration).
-    y = _dot(final.w, x)
+    # them every iteration). With a donated X (run_core_jit_donated)
+    # the rotation runs in place through X's buffer — every read of X
+    # (stage loops, boundary re-measures, the bf16 copy) is sequenced
+    # before it via the data dependency on final.w.
+    if opts.donate_data and opts.data_sharding is None:
+        from ..ops.linalg import rotate_rows_inplace_blocks
+
+        y = rotate_rows_inplace_blocks(final.w, x)
+    else:
+        y = _dot(final.w, x)
     if opts.data_sharding is not None:
         y = lax.with_sharding_constraint(y, opts.data_sharding)
 
@@ -1228,3 +1244,12 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
 
 
 run_core_jit = jax.jit(run_core, static_argnames=("opts",))
+
+# X-donating variant for callers that own the whitened buffer and never
+# reuse it (the solver facade: its X is always the fresh pre-rotation
+# product). Pair with opts.donate_data=True so the final Y aliases X's
+# buffer — together they cut one full (N, T) allocation from the
+# program peak. Direct run_core_jit users keep the non-donating entry.
+run_core_jit_donated = jax.jit(
+    run_core, static_argnames=("opts",), donate_argnums=(0,)
+)

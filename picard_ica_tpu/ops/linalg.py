@@ -234,3 +234,52 @@ def mixing_pinv(w):
     """
     p = jnp.linalg.pinv(w)
     return jnp.where(jnp.all(jnp.isfinite(p)), p, w.T)
+
+
+# Column-block width of the in-place row rotation: (N, 2^20) f32 blocks
+# are 256 MB at N=64 / 1 GB at N=256 — large enough that each block's
+# GEMM runs at full MXU utilization, small next to the (N, T) buffer.
+ROTATE_BLOCK_T = 1 << 20
+
+
+def rotate_rows_inplace_blocks(r, x):
+    """``r @ x`` written back through ``x``'s buffer, column block by
+    column block (traceable body; callers jit it with ``x`` donated).
+
+    XLA will not alias a GEMM's output onto a donated operand (chip-
+    measured: a donated plain dot at 256x6M with a data-sized ballast
+    still OOMs), but ``dynamic_update_slice`` on a donated loop carry
+    IS aliased — so rotating blocks through the buffer holds the peak
+    at one data buffer plus one block instead of two full buffers.
+    The contraction is over rows only, so blockwise evaluation keeps
+    each output element's reduction order and is BIT-identical to the
+    full ``jnp.dot`` (tests/test_whitening.py pins this).
+
+    Only for single-device ``x``: slicing a sample-sharded array by
+    column blocks would lower to cross-device gathers.
+    """
+    n, t = x.shape
+    block = min(ROTATE_BLOCK_T, t)
+    n_full = t // block
+
+    def body(i, buf):
+        sl = lax.dynamic_slice(buf, (0, i * block), (n, block))
+        return lax.dynamic_update_slice(
+            buf, jnp.dot(r, sl, precision=_HI_PREC), (0, i * block)
+        )
+
+    buf = lax.fori_loop(0, n_full, body, x)
+    rem = t - n_full * block
+    if rem:
+        sl = lax.slice(buf, (0, n_full * block), (n, t))
+        buf = lax.dynamic_update_slice(
+            buf, jnp.dot(r, sl, precision=_HI_PREC), (0, n_full * block)
+        )
+    return buf
+
+
+# Jitted donating entry: the caller hands over x's buffer and receives
+# the rotated result in (an alias of) it. Callers: the whitening
+# refinement re-projection, the solver's pre-rotation, and (fused into
+# run_core's program via opts.donate_data) the final Y materialization.
+rotate_rows_inplace = jax.jit(rotate_rows_inplace_blocks, donate_argnums=(1,))

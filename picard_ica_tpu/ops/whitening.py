@@ -363,44 +363,14 @@ def _rotate_rows(r, x1):
     return jnp.dot(r, x1, precision=_HI)
 
 
-# Column-block width of the in-place rotation: (N, 2^20) f32 blocks are
-# 256 MB at N=64 / 1 GB at N=256 — large enough that the per-block GEMM
-# runs at full MXU utilization, small next to the (N, T) buffer.
-_ROTATE_BLOCK_T = 1 << 20
-
-
-@functools.partial(jax.jit, donate_argnums=(1,))
-def _rotate_rows_inplace(r, x1):
-    """``r @ x1`` overwriting ``x1``'s buffer (single-device arrays).
-
-    A donated plain dot cannot alias (see :func:`_rotate_rows`), which
-    made the whitening pipeline peak at THREE data-sized f32 buffers —
-    the measured single-chip max-T ceiling (256x6M = 18.4 GB OOMs on
-    v5e's 16 GB). Rotating column blocks inside one jitted fori_loop
-    and writing each back with ``dynamic_update_slice`` on the donated
-    carry IS aliased by XLA, holding the peak at one data buffer plus
-    one block. The rotation contracts over rows only, so blockwise
-    results are bit-identical to the full dot (same per-element
-    reduction order).
-    """
-    n, t = x1.shape
-    block = min(_ROTATE_BLOCK_T, t)
-    n_full = t // block
-
-    def body(i, buf):
-        sl = jax.lax.dynamic_slice(buf, (0, i * block), (n, block))
-        return jax.lax.dynamic_update_slice(
-            buf, jnp.dot(r, sl, precision=_HI), (0, i * block)
-        )
-
-    buf = jax.lax.fori_loop(0, n_full, body, x1)
-    rem = t - n_full * block
-    if rem:
-        sl = jax.lax.slice(buf, (0, n_full * block), (n, t))
-        buf = jax.lax.dynamic_update_slice(
-            buf, jnp.dot(r, sl, precision=_HI), (0, n_full * block)
-        )
-    return buf
+# In-place refinement re-projection: a donated plain dot cannot alias
+# (see _rotate_rows), which made the whitening pipeline peak at THREE
+# data-sized f32 buffers — the round-4-measured single-chip max-T
+# ceiling (256x6M = 18.4 GB OOMs on v5e). The shared blockwise rotation
+# (ops/linalg, bit-identical to the full dot) holds it at one buffer
+# plus one block. Aliased here for the whitening tests' import surface.
+from .linalg import ROTATE_BLOCK_T as _ROTATE_BLOCK_T  # noqa: E402
+from .linalg import rotate_rows_inplace as _rotate_rows_inplace  # noqa: E402
 
 
 def _rotate_rows_dispatch(r, x1):

@@ -26,7 +26,7 @@ from .errors import (
     InvalidDimensionsError,
     SingularMatrixError,
 )
-from .models.core import CoreOptions, run_core_jit
+from .models.core import CoreOptions, run_core_jit, run_core_jit_donated
 from .models.fastica import ica_par_jit
 from .models.jade import jade_jit
 from .ops.densities import Tanh
@@ -187,6 +187,12 @@ class Picard:
             if sharding is not None:
                 x1 = jax.lax.with_sharding_constraint(x1, sharding)
 
+        # The raw input is not read again — drop this frame's reference
+        # so a device copy WE made (NumPy input path) frees before the
+        # optimizer's own buffers allocate. For a caller-owned device
+        # array this is a no-op (the caller's reference keeps it alive;
+        # that buffer is theirs to hold).
+        x = None  # noqa: F841
         actual_components = x1.shape[0]
 
         # W_init: user-provided (shape-checked, solver.rs:98-111) or
@@ -237,8 +243,26 @@ class Picard:
 
         # Pre-rotate the data (solver.rs:140).
         # HIGHEST: a default (bf16) pass here would rewrite the data the
-        # core loop then solves to tol=1e-7.
-        x1 = jnp.dot(w_init, x1, precision=jax.lax.Precision.HIGHEST)
+        # core loop then solves to tol=1e-7. When x1 is our own
+        # single-device buffer (any centered/whitened copy), rotate it
+        # IN PLACE (ops/linalg.rotate_rows_inplace — bit-identical to
+        # the dot) instead of allocating a second (N, T) array: with
+        # the core's donated-X path this keeps the whole unsharded fit
+        # at ONE internal data buffer past whitening. With
+        # whiten=False and centering=False, x1 may alias the CALLER's
+        # device array — never donate that.
+        if (
+            sharding is None
+            and (config.whiten or config.centering)
+            and isinstance(
+                getattr(x1, "sharding", None), jax.sharding.SingleDeviceSharding
+            )
+        ):
+            from .ops.linalg import rotate_rows_inplace
+
+            x1 = rotate_rows_inplace(w_init, x1)
+        else:
+            x1 = jnp.dot(w_init, x1, precision=jax.lax.Precision.HIGHEST)
         if sharding is not None:
             x1 = jax.lax.with_sharding_constraint(x1, sharding)
 
@@ -281,8 +305,17 @@ class Picard:
             data_sharding=sharding,
             use_pallas=use_pallas,
             kernel_precision=config.kernel_precision,
+            # x1 here is always the solver's own pre-rotation product
+            # (never the caller's array), and nothing below reads it
+            # again — donate it so the final Y = W @ X aliases its
+            # buffer (one fewer (N, T) allocation at the peak; the
+            # single-chip capability row in benchmarks/suite.py rides
+            # on this). Sharded fits keep the non-donating entry (the
+            # in-place rotation is single-device-only).
+            donate_data=sharding is None,
         )
-        core = run_core_jit(
+        core_entry = run_core_jit_donated if sharding is None else run_core_jit
+        core = core_entry(
             x1, covariance, config.tol, config.lambda_min, config.max_iter, opts
         )
 

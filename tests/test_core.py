@@ -238,3 +238,32 @@ class TestRunCore:
         x = jnp.asarray(rng.standard_normal((3, 1000)))
         res = run_core(x, jnp.eye(3), 1e-12, 0.01, 2, _opts())
         assert int(res.n_iterations) <= 2
+
+
+def test_donated_entry_matches_plain_bitwise():
+    """run_core_jit_donated + opts.donate_data (the solver's path: X
+    donated, final Y rotated in place through X's buffer) must
+    reproduce the non-donating entry EXACTLY — the blockwise rotation
+    preserves each element's reduction order, so w, y, and every
+    diagnostic are bit-identical."""
+    from picard_ica_tpu.models.core import run_core_jit, run_core_jit_donated
+
+    rng = np.random.default_rng(11)
+    n, t = 6, 30_000
+    s = rng.laplace(size=(n, t))
+    x64 = rng.standard_normal((n, n)) @ s
+    x64 -= x64.mean(axis=1, keepdims=True)
+    cov = x64 @ x64.T / t
+    w_eig, u = np.linalg.eigh(cov)
+    k = (u / np.sqrt(w_eig)).T
+    xw = jnp.asarray(k @ x64)
+
+    base = run_core_jit(xw, jnp.eye(n, dtype=xw.dtype), 1e-7, 0.01, 50, _opts())
+    donated = run_core_jit_donated(
+        xw.copy(), jnp.eye(n, dtype=xw.dtype), 1e-7, 0.01, 50,
+        _opts(donate_data=True),
+    )
+    assert int(base.n_iterations) == int(donated.n_iterations)
+    assert np.array_equal(np.asarray(base.w), np.asarray(donated.w))
+    assert np.array_equal(np.asarray(base.y), np.asarray(donated.y))
+    assert float(base.gradient_norm) == float(donated.gradient_norm)
