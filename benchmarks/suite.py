@@ -491,27 +491,48 @@ def group_baseline_configs(records, reps, quick):
     # Config 5 at single-chip max T. Full scale is 256 x 10M across a
     # multi-host mesh (T shards linearly, one ~17 KB psum per pass);
     # this row runs the largest T one v5e chip holds. Measured memory
-    # anatomy (round 4): whitening peaks at 2 live f32 (N, T) copies
-    # (mixture + projection — the refinement re-projection rotates IN
-    # PLACE via ops/whitening._rotate_rows_inplace; the pre-fix
-    # 3-copy peak OOM'd at T=6M and whitening now passes 256x6M), so
-    # the BINDING phase is the core program: whitened X + the
-    # bf16-stage copy + the materialized result Y (2.5 copies,
-    # reference-parity sources output) + the fused kernel's bounded
-    # HBM moment partials — T=4M fits, T=5M does not (chip-probed;
-    # the single-allocation arena itself is >= 13 GB).
+    # anatomy (round 4, chip-probed): the refinement re-projection and
+    # the solver pre-rotation run IN PLACE (ops/linalg.
+    # rotate_rows_inplace), the grouped-partials fused kernel writes
+    # ~16x fewer moment partials, and the donated core aliases the
+    # result Y onto X — leaving datagen/whitening's 2 live f32 (N, T)
+    # copies (12.3 GB at T=6M) as the binding peak; T=7M (14.3 GB)
+    # is past the ~15.75 GB arena's comfort. The donated entry
+    # consumes its input, so the timed run regenerates the
+    # (deterministic, seeded) mixture after the compile/warmup run.
     if on_tpu and not quick:
+        import jax.numpy as jnp
+
+        from picard_ica_tpu.models.core import CoreOptions, run_core_jit_donated
         from picard_ica_tpu.ops.whitening import center_whiten
         from picard_ica_tpu.utils.datagen import generate_bench_data_device
 
-        n, t = 256, 4_000_000
-        x_dev = generate_bench_data_device(n, t)
-        xw, _, _ = center_whiten(x_dev, n)
-        jax.block_until_ready(xw)
-        del x_dev  # free the 4.1 GB mixture before the core's bf16 copy
-        r = _core_throughput(xw, n, tol, 60, core_kw, reps=1,
-                             prewhitened=True)
+        n, t = 256, 6_000_000
+        opts = CoreOptions(**dict(core_kw, donate_data=True))
+        cov = jnp.eye(n, dtype=jnp.float32)
+
+        def _whitened():
+            x_dev = generate_bench_data_device(n, t)
+            xw, _, _ = center_whiten(x_dev, n)
+            jax.block_until_ready(xw)
+            return xw  # the 6.1 GB mixture frees on return
+
+        res = run_core_jit_donated(_whitened(), cov, tol, 0.01, 60, opts)
+        jax.block_until_ready(res)  # compile + warm (consumes its input)
+        xw = _whitened()
+        t0 = time.perf_counter()
+        res = run_core_jit_donated(xw, cov, tol, 0.01, 60, opts)
+        jax.block_until_ready(res)
+        wall = time.perf_counter() - t0
         del xw
+        iters = int(res.n_iterations)
+        r = {
+            "samples_per_s": t * iters / wall, "iters": iters,
+            "converged": bool(res.converged),
+            "gradient_norm": float(res.gradient_norm), "wall_s": wall,
+        }
+        _roofline_fracs(r, res, opts, n, t)
+        del res
         records.append({"group": "baseline_5_max_t_single_chip", "n": n,
                         "t": t, **r})
         print(f"baseline 5 max-T ({n}x{t} ext+ortho): "

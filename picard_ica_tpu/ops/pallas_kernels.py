@@ -200,6 +200,34 @@ def _resident_partials_bytes(n_tiles: int, n: int, n_mats: int) -> int:
     return n_mats * n_tiles * n * n * 4
 
 
+# Group-accumulated resident partials (round 4). Above this per-call
+# partials footprint the resident moments/fused kernels accumulate
+# _PARTIALS_GROUP consecutive x-tiles into each (N, N) output block
+# (same contiguous output-revisit pattern as the grouped covariance /
+# streaming kernels) — at N=256/T=4M the ungrouped G partials alone
+# are 1.9 GB of HBM *written per line-search call* (~2.3x the X read
+# itself once every output is counted; chip-measured compile dumps
+# put the 256x5M fit 975 MB past the 15.75 GB arena on partials).
+# Below the threshold nothing changes: the pure per-tile + pairwise
+# fold design stays BIT-identical (the N<=128 headline shapes write
+# a few MB of partials — grouping there would fork their committed
+# trajectories for no memory relief).
+# Accuracy within a group: `group`-deep sequential f32 adds, then the
+# pairwise fold across groups — the documented grouped-covariance /
+# streaming-kernel tradeoff (error log2-bounded across groups, tiny
+# linear term within one).
+_PARTIALS_GROUP = 16
+_PARTIALS_GROUP_THRESHOLD = 256 * 1024**2  # bytes
+
+
+def _partials_group(n_tiles: int, n: int, n_mats: int) -> int:
+    """x-tiles accumulated per output partial (1 = per-tile writes)."""
+    if (_resident_partials_bytes(n_tiles, n, n_mats)
+            <= _PARTIALS_GROUP_THRESHOLD):
+        return 1
+    return min(_PARTIALS_GROUP, n_tiles)
+
+
 def _stream_dims(n: int, need_h: bool, absolute_ll: bool,
                  elem_bytes: int = 4) -> tuple:
     """(bt, npad) for the streaming large-N kernel, or bt=0 if even the
@@ -276,9 +304,26 @@ def _reduce_partials(partials, dtype):
 
 
 def _rotated_moments_kernel(
-    w_ref, x_ref, g_ref, pm_ref, h_ref, ysq_ref, *, density, need_h, need_ysq, t, bt, acc
+    w_ref, x_ref, g_ref, pm_ref, h_ref, ysq_ref, *, density, need_h, need_ysq,
+    t, bt, acc, group=1,
 ):
     i = pl.program_id(0)
+
+    if group > 1:
+        # Grouped partials: zero the revisited output block at each
+        # group start; unused (dummy) outputs stay zero.
+        @pl.when(i % group == 0)
+        def _init():
+            g_ref[...] = jnp.zeros_like(g_ref)
+            pm_ref[...] = jnp.zeros_like(pm_ref)
+            h_ref[...] = jnp.zeros_like(h_ref)
+            ysq_ref[...] = jnp.zeros_like(ysq_ref)
+
+    def emit(ref, val):
+        if group > 1:
+            ref[0] += val
+        else:
+            ref[0] = val
 
     x_t = x_ref[...]
     if t % bt != 0:
@@ -294,21 +339,21 @@ def _rotated_moments_kernel(
         # psi(0) == 0 for all densities, but psi'(0) != 0 — mask it.
         psi_d = jnp.where(_mask_cols(i, bt, t, psi_d.shape), psi_d, 0.0)
 
-    g_ref[0] = jax.lax.dot_general(
+    emit(g_ref, jax.lax.dot_general(
         psi, y, (((1,), (1,)), ((), ())), preferred_element_type=acc, precision=_HI
-    )
-    pm_ref[0] = jnp.sum(psi_d, axis=1, keepdims=True)
+    ))
+    emit(pm_ref, jnp.sum(psi_d, axis=1, keepdims=True))
     if need_h:
         ysq = y * y
-        h_ref[0] = jax.lax.dot_general(
+        emit(h_ref, jax.lax.dot_general(
             psi_d, ysq, (((1,), (1,)), ((), ())),
             preferred_element_type=acc, precision=_HI,
-        )
-    else:
+        ))
+    elif group == 1:
         h_ref[0] = jnp.zeros_like(h_ref[0])
     if need_ysq:
-        ysq_ref[0] = jnp.sum(y * y, axis=1, keepdims=True)
-    else:
+        emit(ysq_ref, jnp.sum(y * y, axis=1, keepdims=True))
+    elif group == 1:
         ysq_ref[0] = jnp.zeros_like(ysq_ref[0])
 
 
@@ -326,19 +371,22 @@ def rotated_moments_sums(
     """
     n, t = x.shape
     bt = _tile_t(n, t)
+    n_tiles = pl.cdiv(t, bt)
+    group = _partials_group(n_tiles, n, 1 + need_h)
     if n > max_fused_n(absolute_ll=True) or _resident_partials_bytes(
-        pl.cdiv(t, bt), n, 1 + need_h
+        pl.cdiv(n_tiles, group), n, 1 + need_h
     ) > _RESIDENT_PARTIALS_MAX:
-        # Resident-W cap (or per-tile-partials HBM budget) exceeded:
-        # the streaming kernel's plain mode computes the identical
-        # moment set (its dll/dysq slots are discarded; this path runs
-        # once per fit, at initialization).
+        # Resident-W cap (or the GROUPED per-tile-partials HBM budget —
+        # only astronomically long T now reaches it) exceeded: the
+        # streaming kernel's plain mode computes the identical moment
+        # set (its dll/dysq slots are discarded; this path runs once
+        # per fit, at initialization).
         out = streaming_fused_sums(
             w, w, x, density, need_h, need_ysq, interpret=interpret,
             absolute_ll=True,
         )
         return out[2], out[3], out[4], out[5]
-    n_tiles = pl.cdiv(t, bt)
+    n_groups = pl.cdiv(n_tiles, group)
     dtype = _acc_dtype(x)
 
     kernel = functools.partial(
@@ -349,6 +397,7 @@ def rotated_moments_sums(
         t=t,
         bt=bt,
         acc=dtype,
+        group=group,
     )
 
     h_dim = n if need_h else 1
@@ -356,7 +405,8 @@ def rotated_moments_sums(
 
     def spec(rows, cols):
         return pl.BlockSpec(
-            (1, rows, cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, rows, cols), lambda i: (i // group, 0, 0),
+            memory_space=pltpu.VMEM,
         )
 
     g, pm, h, ysq = pl.pallas_call(
@@ -373,10 +423,10 @@ def rotated_moments_sums(
             spec(ysq_dim, 1),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, n, n), dtype),
-            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
-            jax.ShapeDtypeStruct((n_tiles, h_dim, h_dim), dtype),
-            jax.ShapeDtypeStruct((n_tiles, ysq_dim, 1), dtype),
+            jax.ShapeDtypeStruct((n_groups, n, n), dtype),
+            jax.ShapeDtypeStruct((n_groups, n, 1), dtype),
+            jax.ShapeDtypeStruct((n_groups, h_dim, h_dim), dtype),
+            jax.ShapeDtypeStruct((n_groups, ysq_dim, 1), dtype),
         ],
         interpret=interpret,
     )(w.astype(x.dtype), x)
@@ -718,7 +768,7 @@ def rotated_loglik_sums(
 def _rotated_fused_kernel(
     m_new_ref, m_old_ref, x_ref, dll_ref, dysq_ref, g_ref, pm_ref, h_ref,
     ysq_ref, *, density, need_h, need_ysq, t, bt, acc, precision,
-    absolute_ll,
+    absolute_ll, group=1,
 ):
     """Line-search try + speculative moments in ONE read of the X tile.
 
@@ -732,6 +782,28 @@ def _rotated_fused_kernel(
     evaluated once for score/derivative/log-lik together.
     """
     i = pl.program_id(0)
+
+    if group > 1:
+        # Grouped partials (see _partials_group): zero the revisited
+        # output blocks at each group start.
+        @pl.when(i % group == 0)
+        def _init():
+            dll_ref[...] = jnp.zeros_like(dll_ref)
+            dysq_ref[...] = jnp.zeros_like(dysq_ref)
+            g_ref[...] = jnp.zeros_like(g_ref)
+            pm_ref[...] = jnp.zeros_like(pm_ref)
+            h_ref[...] = jnp.zeros_like(h_ref)
+            ysq_ref[...] = jnp.zeros_like(ysq_ref)
+
+    def emit(ref, val):
+        if group > 1:
+            ref[0] += val
+        else:
+            ref[0] = val
+
+    def emit_zero(ref):
+        if group == 1:
+            ref[0] = jnp.zeros_like(ref[0])
 
     x_t = x_ref[...]
     if t % bt != 0:
@@ -753,11 +825,11 @@ def _rotated_fused_kernel(
             psi_d = jnp.where(mask, psi_d, 0.0)
             # log_lik(0) != 0 (e.g. tanh: log(2)/alpha) — mask padding.
             ll = jnp.where(mask, ll, 0.0)
-        dll_ref[0] = jnp.sum(ll, axis=1, keepdims=True)
+        emit(dll_ref, jnp.sum(ll, axis=1, keepdims=True))
         if need_ysq:
-            dysq_ref[0] = jnp.sum(y_new * y_new, axis=1, keepdims=True)
+            emit(dysq_ref, jnp.sum(y_new * y_new, axis=1, keepdims=True))
         else:
-            dysq_ref[0] = jnp.zeros_like(dysq_ref[0])
+            emit_zero(dysq_ref)
     else:
         # Rotate the CURRENT matrix and the candidate DELTA, not two
         # absolute rotations: dy = (M_new - M_old) @ x is small near
@@ -787,26 +859,26 @@ def _rotated_fused_kernel(
         psi, psi_d, dll = density.score_der_loglik_delta(y_old, dy)
         if t % bt != 0:
             psi_d = jnp.where(_mask_cols(i, bt, t, psi_d.shape), psi_d, 0.0)
-        dll_ref[0] = jnp.sum(dll, axis=1, keepdims=True)
+        emit(dll_ref, jnp.sum(dll, axis=1, keepdims=True))
         if need_ysq:
             # y_new^2 - y_old^2 = (2 y_old + dy) dy — cancellation-free.
-            dysq_ref[0] = jnp.sum(
+            emit(dysq_ref, jnp.sum(
                 (2.0 * y_old + dy) * dy, axis=1, keepdims=True
-            )
+            ))
         else:
-            dysq_ref[0] = jnp.zeros_like(dysq_ref[0])
+            emit_zero(dysq_ref)
 
-    g_ref[0] = _kernel_dot(psi, y_new, ct_dims, acc, precision)
-    pm_ref[0] = jnp.sum(psi_d, axis=1, keepdims=True)
+    emit(g_ref, _kernel_dot(psi, y_new, ct_dims, acc, precision))
+    emit(pm_ref, jnp.sum(psi_d, axis=1, keepdims=True))
 
     if need_ysq:
-        ysq_ref[0] = jnp.sum(y_new * y_new, axis=1, keepdims=True)
+        emit(ysq_ref, jnp.sum(y_new * y_new, axis=1, keepdims=True))
     else:
-        ysq_ref[0] = jnp.zeros_like(ysq_ref[0])
+        emit_zero(ysq_ref)
     if need_h:
-        h_ref[0] = _kernel_dot(psi_d, y_new * y_new, ct_dims, acc, precision)
+        emit(h_ref, _kernel_dot(psi_d, y_new * y_new, ct_dims, acc, precision))
     else:
-        h_ref[0] = jnp.zeros_like(h_ref[0])
+        emit_zero(h_ref)
 
 
 @functools.partial(
@@ -836,8 +908,10 @@ def rotated_fused_sums(
         bt = _tile_t(n, t, _PLAIN_BUFS, _PLAIN_WEIGHTS)
     else:
         bt = _tile_t(n, t)
+    n_tiles_full = pl.cdiv(t, bt)
+    group = _partials_group(n_tiles_full, n, 1 + need_h)
     if n > max_fused_n(absolute_ll) or _resident_partials_bytes(
-        pl.cdiv(t, bt), n, 1 + need_h
+        pl.cdiv(n_tiles_full, group), n, 1 + need_h
     ) > _RESIDENT_PARTIALS_MAX:
         return streaming_fused_sums(
             m_new, m_old, x, density, need_h, need_ysq,
@@ -850,13 +924,14 @@ def rotated_fused_sums(
         # halved-HBM copy) always takes the native single-pass matmul
         # with f32 accumulation (same remap as the streaming variant).
         precision = "bf16"
-    n_tiles = pl.cdiv(t, bt)
+    n_tiles = n_tiles_full
+    n_groups = pl.cdiv(n_tiles, group)
     dtype = _acc_dtype(x)
 
     kernel = functools.partial(
         _rotated_fused_kernel, density=density, need_h=need_h,
         need_ysq=need_ysq, t=t, bt=bt, acc=dtype, precision=precision,
-        absolute_ll=absolute_ll,
+        absolute_ll=absolute_ll, group=group,
     )
     if absolute_ll:
         # The plain kernel never reads m_old — don't make Mosaic keep a
@@ -876,7 +951,8 @@ def rotated_fused_sums(
 
     def spec(rows, cols):
         return pl.BlockSpec(
-            (1, rows, cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, rows, cols), lambda i: (i // group, 0, 0),
+            memory_space=pltpu.VMEM,
         )
 
     w_spec = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -901,12 +977,12 @@ def rotated_fused_sums(
             spec(ysq_dim, 1),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
-            jax.ShapeDtypeStruct((n_tiles, ysq_dim, 1), dtype),
-            jax.ShapeDtypeStruct((n_tiles, n, n), dtype),
-            jax.ShapeDtypeStruct((n_tiles, n, 1), dtype),
-            jax.ShapeDtypeStruct((n_tiles, h_dim, h_dim), dtype),
-            jax.ShapeDtypeStruct((n_tiles, ysq_dim, 1), dtype),
+            jax.ShapeDtypeStruct((n_groups, n, 1), dtype),
+            jax.ShapeDtypeStruct((n_groups, ysq_dim, 1), dtype),
+            jax.ShapeDtypeStruct((n_groups, n, n), dtype),
+            jax.ShapeDtypeStruct((n_groups, n, 1), dtype),
+            jax.ShapeDtypeStruct((n_groups, h_dim, h_dim), dtype),
+            jax.ShapeDtypeStruct((n_groups, ysq_dim, 1), dtype),
         ],
         interpret=interpret,
     )(*operands)

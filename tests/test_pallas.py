@@ -344,3 +344,48 @@ def test_dot_bf16x3_presplit_bit_identical():
         _split_bf16(a), _split_bf16(b), dims, jnp.float32
     )
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(pre))
+
+
+def test_grouped_partials_match_ungrouped():
+    """Large-shape kernels accumulate _PARTIALS_GROUP x-tiles per
+    output block (16x fewer partials, the N=256 memory/write-traffic
+    fix); forcing the grouping on small shapes must reproduce the
+    per-tile + pairwise-fold results to f32 accumulation accuracy,
+    and the jit cache must fork on the threshold (same shapes, both
+    routes live in one process)."""
+    from picard_ica_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(21)
+    n, t = 8, 40_000  # ~10 tiles at the test-scale bt -> 2 groups
+    x = jnp.asarray(rng.laplace(size=(n, t)), jnp.float32)
+    w = jnp.asarray(np.eye(n) + 0.01 * rng.standard_normal((n, n)),
+                    jnp.float32)
+    m_new = jnp.asarray(
+        np.eye(n) + 0.02 * rng.standard_normal((n, n)), jnp.float32
+    )
+
+    base_m = rotated_moments_sums(w, x, Tanh(), True, True, interpret=True)
+    base_f = pk.rotated_fused_sums(m_new, w, x, Tanh(), True, True,
+                                   interpret=True)
+    thr = pk._PARTIALS_GROUP_THRESHOLD
+    try:
+        pk._PARTIALS_GROUP_THRESHOLD = 0  # force group=16 on tiny shapes
+        # New threshold -> same jit cache entry would be WRONG; the
+        # group is computed inside the traced wrapper from static
+        # shapes, so clear the caches to re-trace.
+        rotated_moments_sums.clear_cache()
+        pk.rotated_fused_sums.clear_cache()
+        grp_m = rotated_moments_sums(w, x, Tanh(), True, True, interpret=True)
+        grp_f = pk.rotated_fused_sums(m_new, w, x, Tanh(), True, True,
+                                      interpret=True)
+    finally:
+        pk._PARTIALS_GROUP_THRESHOLD = thr
+        rotated_moments_sums.clear_cache()
+        pk.rotated_fused_sums.clear_cache()
+
+    for a, b in zip(base_m, grp_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-4)
+    for a, b in zip(base_f, grp_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-4)
