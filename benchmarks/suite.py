@@ -479,15 +479,6 @@ def group_baseline_configs(records, reps, quick):
           f"oracle_floor={rec.get('amari_oracle_vs_truth', float('nan')):.2e}",
           file=sys.stderr)
 
-    # Config 5: EEG/MEG-scale 256 x T, extended+ortho. T picked for
-    # single-chip HBM (f32 X at 256 x 10M = 10.2 GB; we run 2M/chip
-    # here and the samples axis shards linearly across chips).
-    n, t = (128, 500_000) if quick else (256, 2_000_000)
-    r = _core_throughput(_bench_data(n, t), n, tol, 60, core_kw, reps=1)
-    records.append({"group": "baseline_5_eeg_scale", "n": n, "t": t, **r})
-    print(f"baseline 5 ({n}x{t} ext+ortho): {r['samples_per_s']:.3e} samples/s "
-          f"({r['iters']} iters)", file=sys.stderr)
-
     # Config 5 at single-chip max T. Full scale is 256 x 10M across a
     # multi-host mesh (T shards linearly, one ~17 KB psum per pass);
     # this row runs the largest T one v5e chip holds. Measured memory
@@ -507,37 +498,60 @@ def group_baseline_configs(records, reps, quick):
         from picard_ica_tpu.ops.whitening import center_whiten
         from picard_ica_tpu.utils.datagen import generate_bench_data_device
 
-        n, t = 256, 6_000_000
+        n = 256
         opts = CoreOptions(**dict(core_kw, donate_data=True))
         cov = jnp.eye(n, dtype=jnp.float32)
 
-        def _whitened():
+        def _whitened(t):
             x_dev = generate_bench_data_device(n, t)
             xw, _, _ = center_whiten(x_dev, n)
             jax.block_until_ready(xw)
             return xw  # the 6.1 GB mixture frees on return
 
-        res = run_core_jit_donated(_whitened(), cov, tol, 0.01, 60, opts)
-        jax.block_until_ready(res)  # compile + warm (consumes its input)
-        xw = _whitened()
-        t0 = time.perf_counter()
-        res = run_core_jit_donated(xw, cov, tol, 0.01, 60, opts)
-        jax.block_until_ready(res)
-        wall = time.perf_counter() - t0
-        del xw
-        iters = int(res.n_iterations)
-        r = {
-            "samples_per_s": t * iters / wall, "iters": iters,
-            "converged": bool(res.converged),
-            "gradient_norm": float(res.gradient_norm), "wall_s": wall,
-        }
-        _roofline_fracs(r, res, opts, n, t)
-        del res
-        records.append({"group": "baseline_5_max_t_single_chip", "n": n,
-                        "t": t, **r})
-        print(f"baseline 5 max-T ({n}x{t} ext+ortho): "
-              f"{r['samples_per_s']:.3e} samples/s ({r['iters']} iters)",
-              file=sys.stderr)
+        # T ladder: 6M is the fresh-process ceiling, but a suite run
+        # arrives here with a session-fragmented arena — fall back
+        # rather than fail the row (the record notes the T that fit).
+        r = None
+        for t in (6_000_000, 5_000_000, 4_000_000):
+            try:
+                res = run_core_jit_donated(_whitened(t), cov, tol, 0.01, 60, opts)
+                jax.block_until_ready(res)  # compile+warm (consumes input)
+                xw = _whitened(t)
+                t0 = time.perf_counter()
+                res = run_core_jit_donated(xw, cov, tol, 0.01, 60, opts)
+                jax.block_until_ready(res)
+                wall = time.perf_counter() - t0
+                del xw
+            except Exception as e:
+                print(f"baseline 5 max-T: 256x{t} did not fit in-process "
+                      f"({type(e).__name__}); stepping down", file=sys.stderr)
+                continue
+            iters = int(res.n_iterations)
+            r = {
+                "samples_per_s": t * iters / wall, "iters": iters,
+                "converged": bool(res.converged),
+                "gradient_norm": float(res.gradient_norm), "wall_s": wall,
+            }
+            _roofline_fracs(r, res, opts, n, t)
+            del res
+            records.append({"group": "baseline_5_max_t_single_chip", "n": n,
+                            "t": t, **r})
+            print(f"baseline 5 max-T ({n}x{t} ext+ortho): "
+                  f"{r['samples_per_s']:.3e} samples/s ({r['iters']} iters)",
+                  file=sys.stderr)
+            break
+
+    # Config 5: EEG/MEG-scale 256 x T, extended+ortho. T picked for
+    # single-chip HBM (f32 X at 256 x 10M = 10.2 GB; we run 2M/chip
+    # here and the samples axis shards linearly across chips). Runs
+    # AFTER the max-T row: the 12.3 GB datagen+whiten peak above needs
+    # an un-fragmented arena — sequenced after this row's buffers it
+    # OOM'd on the same chip that runs it clean in a fresh process.
+    n, t = (128, 500_000) if quick else (256, 2_000_000)
+    r = _core_throughput(_bench_data(n, t), n, tol, 60, core_kw, reps=1)
+    records.append({"group": "baseline_5_eeg_scale", "n": n, "t": t, **r})
+    print(f"baseline 5 ({n}x{t} ext+ortho): {r['samples_per_s']:.3e} samples/s "
+          f"({r['iters']} iters)", file=sys.stderr)
 
 
 def group_large_n(records, reps, quick):

@@ -217,7 +217,11 @@ def _resident_partials_bytes(n_tiles: int, n: int, n_mats: int) -> int:
 # streaming-kernel tradeoff (error log2-bounded across groups, tiny
 # linear term within one).
 _PARTIALS_GROUP = 16
-_PARTIALS_GROUP_THRESHOLD = 256 * 1024**2  # bytes
+# 96 MB: 6x the N=64/T=4M headline footprint (those shapes stay
+# bit-identical) while catching every shape where the partials tax is
+# >~10% of the X read (e.g. 256x500k writes 128 MB of partials against
+# a 512 MB read — the committed crossover rows' regime).
+_PARTIALS_GROUP_THRESHOLD = 96 * 1024**2  # bytes
 
 
 def _partials_group(n_tiles: int, n: int, n_mats: int) -> int:
