@@ -511,8 +511,17 @@ def group_baseline_configs(records, reps, quick):
         # T ladder: 6M is the fresh-process ceiling, but a suite run
         # arrives here with a session-fragmented arena — fall back
         # rather than fail the row (the record notes the T that fit).
+        # Only resource exhaustion steps down; a deterministic bug in
+        # the pipeline must surface, not silently shrink the row.
+        def _is_oom(e: Exception) -> bool:
+            msg = f"{type(e).__name__}: {e}".lower()
+            return any(tok in msg for tok in (
+                "resource_exhausted", "out of memory", "oom",
+                "allocat", "hbm"))
+
         r = None
-        for t in (6_000_000, 5_000_000, 4_000_000):
+        ladder = (6_000_000, 5_000_000, 4_000_000)
+        for t in ladder:
             try:
                 res = run_core_jit_donated(_whitened(t), cov, tol, 0.01, 60, opts)
                 jax.block_until_ready(res)  # compile+warm (consumes input)
@@ -523,6 +532,8 @@ def group_baseline_configs(records, reps, quick):
                 wall = time.perf_counter() - t0
                 del xw
             except Exception as e:
+                if not _is_oom(e):
+                    raise
                 print(f"baseline 5 max-T: 256x{t} did not fit in-process "
                       f"({type(e).__name__}); stepping down", file=sys.stderr)
                 continue
@@ -540,6 +551,15 @@ def group_baseline_configs(records, reps, quick):
                   f"{r['samples_per_s']:.3e} samples/s ({r['iters']} iters)",
                   file=sys.stderr)
             break
+        if r is None:
+            # Every rung OOM'd: leave an explicit failed record so the
+            # regression is visible in the JSON instead of a silently
+            # missing row (ADVICE r4).
+            records.append({"group": "baseline_5_max_t_single_chip", "n": n,
+                            "failed": True,
+                            "reason": f"all T rungs OOM'd: {list(ladder)}"})
+            print("baseline 5 max-T: every T rung OOM'd; recorded as failed",
+                  file=sys.stderr)
 
     # Config 5: EEG/MEG-scale 256 x T, extended+ortho. T picked for
     # single-chip HBM (f32 X at 256 x 10M = 10.2 GB; we run 2M/chip
@@ -686,31 +706,37 @@ def group_oracle_conformance(records):
 # budget"): generous 2x headroom over the measured cold timings so the
 # check catches a compiled-surface regression (the round-2 failure
 # mode: bench.py silently outgrew the driver's 590 s) without flaking
-# on tunnel variance. Keyed by the phase tags bench.py logs.
+# on tunnel variance. Keyed by the phase tags bench.py logs (round-5
+# structure: chip-acquire → seed measurement → full datagen/whiten/
+# core — bench.py's failure-mode design points 2-4).
 _COLD_BUDGET_S = {
-    "datagen": 180.0,    # import + device acquire + on-device gen
-                         # (~12 s measured with the committed cache —
-                         # but sporadic chip-acquisition stalls of
-                         # 60-600 s land INSIDE this phase; a measured
-                         # clean-run 60 s budget failed a healthy
-                         # 84.4 s run whose extra 60 s was acquisition,
-                         # not datagen)
+    "acquire": 120.0,    # import + 1-element device op; sporadic
+                         # chip-acquisition stalls of 60-600 s land
+                         # HERE by design (attributable; the deadline
+                         # thread still leaves a record if one eats
+                         # the whole budget)
+    "seed": 180.0,       # the full small-shape (64x1M) pipeline:
+                         # datagen + whiten + core compile + 1 rep
+    "datagen": 60.0,     # full-size on-device gen (warm rbg program)
     "whiten": 60.0,      # stats + projection executables (cached ~6 s)
     "core": 120.0,       # staged-precision loop (cached ~11 s) + reps
-    "total": 300.0,      # VERDICT r4 target; hard driver limit is 590
+    "total": 420.0,      # hard driver limit is 590; self-budget 520
 }
 
 
 def _parse_cold_phases(stderr: str) -> dict:
     """Phase end-times from bench.py's stderr forensics lines.
 
-    Returns {"datagen": s|None, "whiten": s|None, "core": s|None}.
-    Each phase is stamped by its own "... done" line; for "core", the
-    Mosaic-fallback path logs "core compile/run failed" BEFORE the
-    retry's "core compile+warm run done" — both start with the token
-    "core", and stamping the first would let a budget-busting
-    failed-attempt+retry escape the guard. Match done-lines only,
-    keeping the LAST occurrence so a retry's cost is counted."""
+    Returns {phase: seconds | None} for acquire/seed/datagen/whiten/
+    core. Each phase is stamped by its own "... done" (or "seed
+    measurement:") line; for "core", the Mosaic-fallback path logs
+    "core compile/run failed" BEFORE the retry's "core compile+warm
+    run done" — both start with the token "core", and stamping the
+    first would let a budget-busting failed-attempt+retry escape the
+    guard. Match done-lines only, keeping the LAST occurrence so a
+    retry's cost is counted. The seed run's own datagen/whiten/core
+    lines carry a "seed-" prefix and cannot match the full-run
+    patterns (which anchor right after the "[bench +Xs] " stamp)."""
     import re
 
     def _last(pattern: str):
@@ -720,6 +746,8 @@ def _parse_cold_phases(stderr: str) -> dict:
         return end
 
     return {
+        "acquire": _last(r"chip-acquire: done"),
+        "seed": _last(r"seed measurement:"),
         "datagen": _last(r"datagen: done"),
         "whiten": _last(r"center\+whiten done"),
         "core": _last(r"core compile\+warm run done"),
@@ -770,12 +798,17 @@ def cold_check() -> int:
         rec = json.loads(proc.stdout.strip().splitlines()[-1])
         print(f"cold-check: bench JSON ok ({rec['value']:.3e} {rec['unit']})",
               file=sys.stderr)
+        if "degraded" in rec:
+            # The driver would still get a record, but a healthy cold
+            # run must measure its own number — a floor emission here
+            # means the pipeline regressed.
+            failures.append(f"record is degraded: {rec['degraded']}")
     except Exception as e:
         failures.append(f"no parseable JSON line on stdout ({e})")
 
     phase_ends = _parse_cold_phases(proc.stderr)
     prev = 0.0
-    for phase in ("datagen", "whiten", "core"):
+    for phase in ("acquire", "seed", "datagen", "whiten", "core"):
         end = phase_ends.get(phase)
         if end is None:
             failures.append(f"phase '{phase}' left no forensics line")

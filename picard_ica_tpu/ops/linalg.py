@@ -282,4 +282,25 @@ def rotate_rows_inplace_blocks(r, x):
 # the rotated result in (an alias of) it. Callers: the whitening
 # refinement re-projection, the solver's pre-rotation, and (fused into
 # run_core's program via opts.donate_data) the final Y materialization.
-rotate_rows_inplace = jax.jit(rotate_rows_inplace_blocks, donate_argnums=(1,))
+_rotate_rows_inplace_jit = jax.jit(
+    rotate_rows_inplace_blocks, donate_argnums=(1,)
+)
+
+
+def call_donating(fn, *args):
+    """Dispatch a donating jitted function with the 'donated buffers
+    were not usable' warning filtered: backends that cannot alias
+    (e.g. the CPU test backend) emit it on every dispatch — pure log
+    noise, since results are identical and the donation is a memory
+    optimization, not a semantic requirement (ADVICE r4)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", message=".*[Dd]onated buffer.*"
+        )
+        return fn(*args)
+
+
+def rotate_rows_inplace(r, x):
+    return call_donating(_rotate_rows_inplace_jit, r, x)

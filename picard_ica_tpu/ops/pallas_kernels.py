@@ -362,21 +362,29 @@ def _rotated_moments_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("density", "need_h", "need_ysq", "interpret")
+    jax.jit,
+    static_argnames=("density", "need_h", "need_ysq", "interpret",
+                     "group_override"),
 )
 def rotated_moments_sums(
-    w, x, density: Density, need_h: bool, need_ysq: bool, interpret: bool = False
+    w, x, density: Density, need_h: bool, need_ysq: bool,
+    interpret: bool = False, group_override: int = 0,
 ):
     """Unnormalized (G_sum, pm_sum, H_sum, ysq_sum) of Y = W @ X.
 
     Shapes: (N, N), (N,), (N, N), (N,); the h/ysq outputs are zeros
     when their flags are off (kept in the signature so the caller's
-    pytree is static).
+    pytree is static). ``group_override`` (tests only) forces the
+    partials accumulation group; it is a static argname, so it is part
+    of the jit cache key — unlike mutating _PARTIALS_GROUP_THRESHOLD,
+    which is read at trace time and would silently reuse stale-group
+    executables.
     """
     n, t = x.shape
     bt = _tile_t(n, t)
     n_tiles = pl.cdiv(t, bt)
-    group = _partials_group(n_tiles, n, 1 + need_h)
+    group = (min(group_override, n_tiles) if group_override
+             else _partials_group(n_tiles, n, 1 + need_h))
     if n > max_fused_n(absolute_ll=True) or _resident_partials_bytes(
         pl.cdiv(n_tiles, group), n, 1 + need_h
     ) > _RESIDENT_PARTIALS_MAX:
@@ -889,13 +897,13 @@ def _rotated_fused_kernel(
     jax.jit,
     static_argnames=(
         "density", "need_h", "need_ysq", "interpret", "precision",
-        "absolute_ll",
+        "absolute_ll", "group_override",
     ),
 )
 def rotated_fused_sums(
     m_new, m_old, x, density: Density, need_h: bool, need_ysq: bool,
     interpret: bool = False, precision: str = "f32",
-    absolute_ll: bool = False,
+    absolute_ll: bool = False, group_override: int = 0,
 ):
     """Unnormalized fused line-search-try + moments sums.
 
@@ -913,7 +921,8 @@ def rotated_fused_sums(
     else:
         bt = _tile_t(n, t)
     n_tiles_full = pl.cdiv(t, bt)
-    group = _partials_group(n_tiles_full, n, 1 + need_h)
+    group = (min(group_override, n_tiles_full) if group_override
+             else _partials_group(n_tiles_full, n, 1 + need_h))
     if n > max_fused_n(absolute_ll) or _resident_partials_bytes(
         pl.cdiv(n_tiles_full, group), n, 1 + need_h
     ) > _RESIDENT_PARTIALS_MAX:

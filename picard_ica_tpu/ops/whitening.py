@@ -354,13 +354,19 @@ def _refine_whitening(x1, k: np.ndarray, n_samples: int):
 
 
 @functools.partial(jax.jit, donate_argnums=(1,))
-def _rotate_rows(r, x1):
+def _rotate_rows_jit(r, x1):
     # x1 is an internal temporary (the pre-refinement projection) that
     # every caller discards, so it is donated — but XLA does NOT alias
     # a GEMM's output onto a donated operand (measured: 256x6M with a
     # data-sized ballast still OOMs), so this path keeps a 2-buffer
     # peak. Single-device callers get the truly in-place variant below.
     return jnp.dot(r, x1, precision=_HI)
+
+
+def _rotate_rows(r, x1):
+    from .linalg import call_donating
+
+    return call_donating(_rotate_rows_jit, r, x1)
 
 
 # In-place refinement re-projection: a donated plain dot cannot alias
@@ -455,6 +461,7 @@ def center_whiten(
     n_components: int,
     centering: bool = True,
     whiten_flag: bool = True,
+    ensure_owned: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Fused device-path center + whiten: ``(x1, mean, K)``.
 
@@ -463,13 +470,22 @@ def center_whiten(
     structured as exactly two device executables (stats; projection)
     around the host-f64 eigendecomposition — the launch-count-minimal
     shape this environment's per-executable tunnel latency demands.
+
+    ``ensure_owned=True`` guarantees the returned ``x1`` is a buffer
+    the caller exclusively owns (safe to donate/mutate in place):
+    every transforming branch already returns a fresh array, and the
+    one passthrough branch (``centering=False, whiten_flag=False``)
+    copies. The solver keys its in-place pre-rotation donation on this
+    contract instead of reconstructing ownership from config flags
+    (ADVICE r4) — and the copy costs nothing net: the donated in-place
+    rotation then skips the out-of-place dot's own (N, T) allocation.
     """
     x = jnp.asarray(x)
     if not whiten_flag:
         if centering:
             x1, mean = _center_jit(x, _mean_impl_for(x))
             return x1, mean, None
-        return x, None, None
+        return (jnp.array(x, copy=True) if ensure_owned else x), None, None
     n_features, n_samples = x.shape
     if n_components > n_features:
         raise InvalidDimensionsError(

@@ -181,7 +181,8 @@ class Picard:
             # eager per-op dispatch costs seconds each on this
             # environment's tunnel).
             x1, x_mean, k_matrix = center_whiten(
-                x, n_components, config.centering, config.whiten
+                x, n_components, config.centering, config.whiten,
+                ensure_owned=True,
             )
 
             if sharding is not None:
@@ -243,17 +244,16 @@ class Picard:
 
         # Pre-rotate the data (solver.rs:140).
         # HIGHEST: a default (bf16) pass here would rewrite the data the
-        # core loop then solves to tol=1e-7. When x1 is our own
-        # single-device buffer (any centered/whitened copy), rotate it
-        # IN PLACE (ops/linalg.rotate_rows_inplace — bit-identical to
-        # the dot) instead of allocating a second (N, T) array: with
-        # the core's donated-X path this keeps the whole unsharded fit
-        # at ONE internal data buffer past whitening. With
-        # whiten=False and centering=False, x1 may alias the CALLER's
-        # device array — never donate that.
+        # core loop then solves to tol=1e-7. x1 is solver-owned on
+        # every path here (the host-f64 branch device_puts a fresh
+        # array; the device branch passes ensure_owned=True to
+        # center_whiten), so when it is a single-device buffer, rotate
+        # it IN PLACE (ops/linalg.rotate_rows_inplace — bit-identical
+        # to the dot) instead of allocating a second (N, T) array:
+        # with the core's donated-X path this keeps the whole
+        # unsharded fit at ONE internal data buffer past whitening.
         if (
             sharding is None
-            and (config.whiten or config.centering)
             and isinstance(
                 getattr(x1, "sharding", None), jax.sharding.SingleDeviceSharding
             )
@@ -314,10 +314,21 @@ class Picard:
             # in-place rotation is single-device-only).
             donate_data=sharding is None,
         )
-        core_entry = run_core_jit_donated if sharding is None else run_core_jit
-        core = core_entry(
-            x1, covariance, config.tol, config.lambda_min, config.max_iter, opts
-        )
+        # call_donating: filters the 'donated buffers were not usable'
+        # dispatch warning on backends that cannot alias (CPU) —
+        # donation is a memory optimization, not a semantic need.
+        from .ops.linalg import call_donating
+
+        if sharding is None:
+            core = call_donating(
+                run_core_jit_donated, x1, covariance, config.tol,
+                config.lambda_min, config.max_iter, opts,
+            )
+        else:
+            core = run_core_jit(
+                x1, covariance, config.tol, config.lambda_min,
+                config.max_iter, opts,
+            )
 
         # Compose transforms (solver.rs:169).
         w = jnp.dot(core.w, w_init, precision=jax.lax.Precision.HIGHEST)

@@ -1,18 +1,27 @@
-"""Smoke coverage for the headline bench deliverable (bench.py).
+"""Coverage for the headline bench deliverable (bench.py).
 
 The round-2 lesson: bench.py rotted (cold-start regression) without
-any test noticing until the driver's official run timed out. This
-suite runs the full bench pipeline — on-device datagen, device
-whiten, core measurement, CPU baseline, JSON emission — at toy scale
-on the CPU backend, asserting the stdout contract the driver parses
-(exactly one JSON line with the four required keys; reference
-harness contract: benches/benchmarks.rs:130-141).
+any test noticing until the driver's official run timed out. Rounds
+2-4 each produced a NULL driver record through three different
+failure modes; this suite pins the contract that closes them
+(VERDICT r4 item 1): the bench must leave rc=0 and a parseable JSON
+line under EVERY failure mode — including a chip-acquisition stall
+that consumes the entire budget before the first device op (the
+round-4 killer). Happy-path tests run the full pipeline — on-device
+datagen, device whiten, core measurement, CPU baseline, JSON emission
+— at toy scale on the CPU backend, asserting the stdout contract the
+driver parses (reference harness contract: the criterion bench runs
+cold and unattended, benches/benchmarks.rs:130-141).
 """
 
 import json
+import os
+import subprocess
 import sys
 
 import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture()
@@ -22,6 +31,7 @@ def bench(monkeypatch, tmp_path):
 
     monkeypatch.setattr(bench_mod, "N_COMPONENTS", 8)
     monkeypatch.setattr(bench_mod, "N_SAMPLES", 20_000)
+    monkeypatch.setattr(bench_mod, "SEED_SAMPLES", 10_000)
     monkeypatch.setattr(bench_mod, "REPS", 1)
     # Keep conftest's .jax_cache_tests compilation cache (the real
     # bench would repoint it at .jax_cache, clobbering the TPU cache
@@ -84,7 +94,7 @@ def test_bench_falls_back_when_core_compile_fails(bench, capsys, monkeypatch):
     """A Mosaic rejection of the tanh-native delta form must not kill
     the headline artifact: the first failed compile flips
     _TANH_NATIVE_DELTA off, clears the jit caches, and retries once
-    (bench.py:_tpu_samples_per_sec)."""
+    (bench.py:_measure_config)."""
     import picard_ica_tpu.models.core as core_mod
     from picard_ica_tpu.ops import densities
 
@@ -106,12 +116,119 @@ def test_bench_falls_back_when_core_compile_fails(bench, capsys, monkeypatch):
     assert densities._TANH_NATIVE_DELTA is False
 
 
+def test_bench_survives_deterministic_measurement_bug(bench, capsys, monkeypatch):
+    """A non-crash-shaped failure anywhere in the measurement must
+    still leave a record: main()'s catch-all logs the traceback and
+    _emit() falls back to the committed floor. (The crash-retry path
+    must NOT fire — no 30 s sleep taxing a plain bug, ADVICE r4.)"""
+    import picard_ica_tpu.models.core as core_mod
+    from picard_ica_tpu.ops import densities
+
+    monkeypatch.setattr(densities, "_TANH_NATIVE_DELTA", False)
+    monkeypatch.setattr(
+        core_mod, "run_core_jit",
+        lambda *a, **kw: (_ for _ in ()).throw(ValueError("deterministic bug")),
+    )
+    bench.main()
+    captured = capsys.readouterr()
+    lines = [l for l in captured.out.strip().splitlines() if l.strip()]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["value"] > 0
+    assert "degraded" in rec
+    # the crash-retry path (30 s re-acquire) must NOT fire on a
+    # deterministic bug (ADVICE r4: gate the retry on crash shapes)
+    assert "rebuilding the TPU backend" not in captured.err
+    assert "deterministic bug" in captured.err  # traceback surfaced
+
+
+def test_emit_uses_committed_floor_when_nothing_measured(bench, capsys):
+    """The round-4 failure mode distilled: _BEST empty at emission
+    time must yield the committed floor record, not silence."""
+    assert not bench._BEST
+    bench._emit()
+    rec = _parse_stdout(capsys)
+    assert rec["metric"] == "grad_loop_samples_per_sec_per_chip"
+    assert rec["value"] > 0 and rec["vs_baseline"] > 0
+    assert "degraded" in rec
+    # the floor is the driver-verified round-1 record
+    assert rec["value"] == pytest.approx(2.472e8, rel=1e-3)
+
+
 def test_bench_sigterm_emits_best_so_far(bench, capsys):
     """The driver-timeout path: once _BEST holds a measurement, the
-    SIGTERM handler must print the JSON record (bench.py:_on_term
-    calls os._exit, so invoke _emit directly here)."""
+    SIGTERM handler must print the JSON record (_emit_and_exit calls
+    os._exit, so invoke _emit directly here)."""
     bench._BEST.update(sps=1.23e8, iters=30, cpu_sps=2.4e6)
     bench._emit()
     rec = _parse_stdout(capsys)
     assert rec["value"] == pytest.approx(1.23e8)
     assert rec["vs_baseline"] == pytest.approx(1.23e8 / 2.4e6)
+    assert "degraded" not in rec
+
+
+def test_budget_aware_shrink_ladder(bench):
+    """VERDICT r4 item 1c: the full-config T steps down as budget
+    evaporates instead of running out mid-measurement."""
+    assert bench._choose_full_t(500.0) == bench.N_SAMPLES
+    assert bench._choose_full_t(150.0) == min(bench.N_SAMPLES, 2_000_000)
+    assert bench._choose_full_t(90.0) == min(bench.N_SAMPLES, 1_000_000)
+    assert bench._choose_full_t(30.0) is None
+
+
+def test_crash_shaped_classifier(bench):
+    assert bench._is_crash_shaped(RuntimeError(
+        "FAILED_PRECONDITION: TPU backend error"))
+    assert bench._is_crash_shaped(RuntimeError("Socket closed"))
+    assert not bench._is_crash_shaped(ValueError("shapes do not match"))
+    assert not bench._is_crash_shaped(TypeError("bad argument"))
+
+
+def test_stall_injection_deadline_emits_record():
+    """THE round-4 failure mode, end to end in a subprocess: the first
+    device op blocks past the self-deadline (here: an injected stall,
+    scaled 400s→8s with the deadline scaled 570s→2s — same code path,
+    same race). The deadline thread must emit a parseable JSON record
+    and exit 0 while the main thread is still blocked. No jax backend
+    is ever initialized (the stall fires before the first device op),
+    so this never touches the real TPU."""
+    env = dict(os.environ)
+    env.update(
+        PICARD_BENCH_TEST_STALL_S="8",
+        PICARD_BENCH_DEADLINE_S="2",
+        PICARD_BENCH_BUDGET_S="6",
+        PICARD_BENCH_PLATFORM="cpu",  # belt-and-braces: never axon
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py")],
+        capture_output=True, text=True, timeout=60, env=env, cwd=_REPO,
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, proc.stdout
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "grad_loop_samples_per_sec_per_chip"
+    assert rec["value"] > 0 and rec["vs_baseline"] > 0
+    assert "degraded" in rec
+    assert "self-deadline reached" in proc.stderr
+
+
+def test_stall_forensics_heartbeat():
+    """During a silent stall the heartbeat thread must keep printing
+    — the round-4 record had a 570 s forensics gap between 'datagen:'
+    and the deadline line; any future stall must be attributable."""
+    env = dict(os.environ)
+    env.update(
+        PICARD_BENCH_TEST_STALL_S="25",
+        PICARD_BENCH_DEADLINE_S="22",
+        PICARD_BENCH_BUDGET_S="20",
+        PICARD_BENCH_PLATFORM="cpu",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py")],
+        capture_output=True, text=True, timeout=90, env=env, cwd=_REPO,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "heartbeat: still in" in proc.stderr, proc.stderr
+    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rec["value"] > 0

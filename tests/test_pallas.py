@@ -349,10 +349,11 @@ def test_dot_bf16x3_presplit_bit_identical():
 def test_grouped_partials_match_ungrouped():
     """Large-shape kernels accumulate _PARTIALS_GROUP x-tiles per
     output block (16x fewer partials, the N=256 memory/write-traffic
-    fix); forcing the grouping on small shapes must reproduce the
-    per-tile + pairwise-fold results to f32 accumulation accuracy,
-    and the jit cache must fork on the threshold (same shapes, both
-    routes live in one process)."""
+    fix); forcing the grouping on small shapes (via the static
+    ``group_override`` argument — part of the jit cache key, so both
+    routes coexist in one process without hand-clearing caches,
+    ADVICE r4) must reproduce the per-tile + pairwise-fold results to
+    f32 accumulation accuracy."""
     from picard_ica_tpu.ops import pallas_kernels as pk
 
     rng = np.random.default_rng(21)
@@ -367,21 +368,11 @@ def test_grouped_partials_match_ungrouped():
     base_m = rotated_moments_sums(w, x, Tanh(), True, True, interpret=True)
     base_f = pk.rotated_fused_sums(m_new, w, x, Tanh(), True, True,
                                    interpret=True)
-    thr = pk._PARTIALS_GROUP_THRESHOLD
-    try:
-        pk._PARTIALS_GROUP_THRESHOLD = 0  # force group=16 on tiny shapes
-        # New threshold -> same jit cache entry would be WRONG; the
-        # group is computed inside the traced wrapper from static
-        # shapes, so clear the caches to re-trace.
-        rotated_moments_sums.clear_cache()
-        pk.rotated_fused_sums.clear_cache()
-        grp_m = rotated_moments_sums(w, x, Tanh(), True, True, interpret=True)
-        grp_f = pk.rotated_fused_sums(m_new, w, x, Tanh(), True, True,
-                                      interpret=True)
-    finally:
-        pk._PARTIALS_GROUP_THRESHOLD = thr
-        rotated_moments_sums.clear_cache()
-        pk.rotated_fused_sums.clear_cache()
+    grp_m = rotated_moments_sums(w, x, Tanh(), True, True, interpret=True,
+                                 group_override=pk._PARTIALS_GROUP)
+    grp_f = pk.rotated_fused_sums(m_new, w, x, Tanh(), True, True,
+                                  interpret=True,
+                                  group_override=pk._PARTIALS_GROUP)
 
     for a, b in zip(base_m, grp_m):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -389,3 +380,11 @@ def test_grouped_partials_match_ungrouped():
     for a, b in zip(base_f, grp_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-6, atol=2e-4)
+    # the override must actually fork the executable: grouped results
+    # use group-deep sequential adds, so at least one element differs
+    # in the last ulps for this tile count — if they were bit-equal
+    # the override silently didn't reach the kernel
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(base_m, grp_m)
+    )

@@ -76,24 +76,53 @@ def test_roofline_fracs_skips_cpu_backend(suite, monkeypatch):
 
 _COLD_STDERR = """\
 [bench +    0.0s] enabling persistent compilation cache
-[bench +   10.2s] devices: [TpuDevice(id=0)]
-[bench +   10.2s] datagen: generating 64x4000000 Laplace mixture on device
-[bench +   12.1s] datagen: done in 1.9s
-[bench +   18.4s] center+whiten done in 6.3s
-[bench +   29.5s] core compile+warm run done in 11.1s (35 iters, ...)
+[bench +   10.2s] chip-acquire: devices [TpuDevice(id=0)]
+[bench +   10.4s] chip-acquire: done in 0.2s
+[bench +   10.4s] seed-datagen: generating 64x1000000 Laplace mixture on device
+[bench +   22.0s] seed-datagen: done in 11.6s
+[bench +   24.3s] seed-center+whiten done in 2.3s
+[bench +   40.0s] seed-core compile+warm run done in 15.7s (30 iters, ...)
+[bench +   40.3s] seed-rep 0: 2.900e+08 samples/s (30 iters, 0.10s)
+[bench +   40.3s] seed measurement: 2.900e+08 samples/s (30 iters at T=1000000)
+[bench +   40.3s] datagen: generating 64x4000000 Laplace mixture on device
+[bench +   42.2s] datagen: done in 1.9s
+[bench +   48.5s] center+whiten done in 6.3s
+[bench +   59.6s] core compile+warm run done in 11.1s (35 iters, ...)
 """
 
 
 def test_parse_cold_phases(suite):
+    """The seed run's 'seed-' prefixed lines must NOT satisfy the
+    full-run phase patterns (the pattern anchors right after the
+    timestamp stamp) — otherwise a skipped full run would go
+    unnoticed."""
     ends = suite._parse_cold_phases(_COLD_STDERR)
-    assert ends == {"datagen": pytest.approx(12.1),
-                    "whiten": pytest.approx(18.4),
-                    "core": pytest.approx(29.5)}
+    assert ends == {"acquire": pytest.approx(10.4),
+                    "seed": pytest.approx(40.3),
+                    "datagen": pytest.approx(42.2),
+                    "whiten": pytest.approx(48.5),
+                    "core": pytest.approx(59.6)}
+
+
+def test_parse_cold_phases_seed_only_leaves_full_run_none(suite):
+    """A budget-shrunk run that never reaches the full config leaves
+    the full-run phases None — cold_check then fails them as missing
+    forensics, which is correct: a healthy cold run must complete the
+    full pipeline."""
+    seed_only = "".join(
+        l + "\n" for l in _COLD_STDERR.splitlines()
+        if "] seed" in l or "chip-acquire" in l or "cache" in l)
+    ends = suite._parse_cold_phases(seed_only)
+    assert ends["seed"] == pytest.approx(40.3)
+    assert ends["datagen"] is None
+    assert ends["whiten"] is None
+    assert ends["core"] is None
 
 
 def test_parse_cold_phases_missing_forensics(suite):
     ends = suite._parse_cold_phases("no bench lines at all")
-    assert ends == {"datagen": None, "whiten": None, "core": None}
+    assert ends == {"acquire": None, "seed": None, "datagen": None,
+                    "whiten": None, "core": None}
 
 
 _FALLBACK_STDERR = """\

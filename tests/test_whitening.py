@@ -181,6 +181,47 @@ def test_center_whiten_matches_separate_pipeline():
     np.testing.assert_allclose(np.asarray(x1), x, rtol=0, atol=0)
 
 
+def test_center_whiten_ensure_owned_copies_passthrough():
+    """ensure_owned=True is the solver's donation contract (ADVICE
+    r4): even on the passthrough branch (centering=False,
+    whiten_flag=False) the returned x1 must be a distinct buffer the
+    caller may donate/mutate without touching the user's array."""
+    from picard_ica_tpu.ops.whitening import center_whiten
+
+    rng = np.random.default_rng(3)
+    xd = jnp.asarray(rng.laplace(size=(4, 256)).astype(np.float32))
+
+    x1, mean, k = center_whiten(xd, 4, False, False, ensure_owned=True)
+    assert mean is None and k is None
+    assert x1 is not xd
+    assert (x1.unsafe_buffer_pointer() != xd.unsafe_buffer_pointer())
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(xd))
+
+    # default keeps the zero-copy passthrough
+    x1_alias, _, _ = center_whiten(xd, 4, False, False)
+    assert x1_alias is xd
+
+
+def test_fit_never_mutates_caller_device_array():
+    """The in-place pre-rotation donates x1 unconditionally now that
+    ownership is enforced at the source — a fit on a caller-owned
+    device array with all preprocessing off must leave that array
+    byte-identical and alive."""
+    from picard_ica_tpu import ConfigBuilder, Picard
+
+    rng = np.random.default_rng(11)
+    s = rng.laplace(size=(3, 3000))
+    a = rng.standard_normal((3, 3))
+    xd = jnp.asarray((a @ s).astype(np.float32))
+    before = np.asarray(xd).copy()
+
+    cfg = (ConfigBuilder().centering(False).whiten(False)
+           .max_iter(30).random_state(0).build())
+    Picard.fit_with_config(xd, cfg)
+    assert not xd.is_deleted()
+    np.testing.assert_array_equal(np.asarray(xd), before)
+
+
 def test_tpu_large_n_covariance_fallback_warns(monkeypatch):
     """Beyond max_pallas_cov_n, f32 data on the TPU backend falls back
     to a single-dot covariance — a user-visible AccuracyWarning must
