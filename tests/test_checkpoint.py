@@ -32,6 +32,67 @@ def test_round_trip(tmp_path, fitted):
     assert loaded.gradient_norm == pytest.approx(result.gradient_norm)
 
 
+def test_round_trip_preserves_every_field(tmp_path, fitted):
+    """load_result == original on EVERY PicardResult field (VERDICT r4
+    item 5: the diagnostics are part of the result contract,
+    result.rs:7-33, and a round trip must not silently drop them)."""
+    import dataclasses
+
+    x, _, _, result = fitted
+    p = tmp_path / "fit.npz"
+    save_result(p, result)
+    loaded = load_result(p)
+
+    # the fit ran the staged-precision path, so the diagnostics exist
+    assert result.stage_exits is not None
+    assert result.stage_precisions is not None
+    assert result.ls_calls is not None
+    assert result.stage_ls_calls is not None
+
+    for field in dataclasses.fields(result):
+        orig = getattr(result, field.name)
+        got = getattr(loaded, field.name)
+        if orig is None:
+            assert got is None, field.name
+        elif hasattr(orig, "shape") and getattr(orig, "ndim", 0) > 0:
+            np.testing.assert_array_equal(np.asarray(orig), np.asarray(got),
+                                          err_msg=field.name)
+        else:
+            assert got == orig, field.name
+
+
+def test_version_1_checkpoint_still_loads(tmp_path, fitted):
+    """A pre-round-5 (format 1) file — no diagnostic keys — loads with
+    the diagnostic fields None, exactly what it stored."""
+    x, _, _, result = fitted
+    p = tmp_path / "fit_v1.npz"
+    with open(p, "wb") as f:
+        np.savez(
+            f,
+            format_version=np.asarray(1),
+            unmixing=np.asarray(result.unmixing),
+            n_iterations=np.asarray(result.n_iterations),
+            converged=np.asarray(result.converged),
+            gradient_norm=np.asarray(result.gradient_norm),
+        )
+    loaded = load_result(p)
+    np.testing.assert_array_equal(np.asarray(result.unmixing), loaded.unmixing)
+    assert loaded.stage_exits is None
+    assert loaded.stage_precisions is None
+    assert loaded.ls_calls is None
+    assert loaded.stage_ls_calls is None
+
+
+def test_future_version_rejected(tmp_path):
+    p = tmp_path / "future.npz"
+    with open(p, "wb") as f:
+        np.savez(f, format_version=np.asarray(99),
+                 unmixing=np.eye(2), n_iterations=np.asarray(1),
+                 converged=np.asarray(True), gradient_norm=np.asarray(0.0))
+    with pytest.raises(ValueError, match="newer than supported"):
+        load_result(p)
+
+
 def test_round_trip_without_sources_and_optionals(tmp_path):
     _, _, x = generate_test_data(4, 5_000, seed=3)
     cfg = PicardConfig(random_state=0, whiten=False, centering=False,

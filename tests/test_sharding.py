@@ -122,6 +122,69 @@ def test_sharded_pallas_path_matches_single(eight_device_mesh):
     )
 
 
+def _variant_data(law, n, t, seed):
+    rng = np.random.default_rng(seed)
+    if law == "uniform":
+        s = rng.uniform(-np.sqrt(3.0), np.sqrt(3.0), size=(n, t))
+    else:
+        u = rng.uniform(1e-6, 1.0, size=(n, t))
+        s = np.sign(rng.standard_normal((n, t))) * (-np.log(u))
+    return rng.standard_normal((n, n)) @ s
+
+
+def test_nonortho_fastica_sharded_matches_unsharded(eight_device_mesh):
+    """Non-ortho under the mesh: the sharded H moment psi'(Y)·(Y²)ᵀ/T
+    (core.rs:274) + regularize_hessian, with a FastICA warm start
+    (solver.rs:218's moment psum) — the SURVEY §2.3 rows the flagship
+    ortho config never exercises (VERDICT r4 item 4)."""
+    x = _variant_data("laplace", 4, 4000, 5)
+    cfg = PicardConfig(random_state=0, ortho=False, extended=True,
+                       fastica_it=2, tol=1e-6, max_iter=200)
+    r_single = Picard.fit_with_config(x, cfg)
+    r_mesh = Picard.fit_with_config(x, cfg, mesh=eight_device_mesh)
+    assert r_single.converged and r_mesh.converged
+    np.testing.assert_allclose(
+        np.asarray(r_single.unmixing), np.asarray(r_mesh.unmixing), atol=1e-5
+    )
+
+
+def test_cube_and_exp_densities_sharded_match_unsharded(eight_device_mesh):
+    """The cube (sub-Gaussian, on uniform sources) and exp score
+    kernels under the mesh (density.rs:91-130)."""
+    from picard_ica_tpu import Cube, Exp
+
+    for law, kw in (
+        ("uniform", dict(density=Cube(), extended=False)),
+        ("laplace", dict(density=Exp(), extended=True)),
+    ):
+        x = _variant_data(law, 4, 4000, 9)
+        cfg = PicardConfig(random_state=0, ortho=True, tol=1e-6,
+                           max_iter=200, **kw)
+        r_single = Picard.fit_with_config(x, cfg)
+        r_mesh = Picard.fit_with_config(x, cfg, mesh=eight_device_mesh)
+        assert r_single.converged and r_mesh.converged, law
+        np.testing.assert_allclose(
+            np.asarray(r_single.unmixing), np.asarray(r_mesh.unmixing),
+            atol=1e-5, err_msg=law,
+        )
+
+
+def test_three_device_mesh_matches_unsharded():
+    """A non-power-of-2 device count: GSPMD partitioning and the psum
+    reduction tree must not assume 2^k devices."""
+    from picard_ica_tpu.parallel import sample_mesh
+
+    mesh3 = sample_mesh(jax.devices("cpu")[:3])
+    x = _variant_data("laplace", 3, 3 * 1024, 13)
+    cfg = PicardConfig(random_state=0, tol=1e-6, max_iter=200)
+    r_single = Picard.fit_with_config(x, cfg)
+    r_mesh = Picard.fit_with_config(x, cfg, mesh=mesh3)
+    assert r_single.converged and r_mesh.converged
+    np.testing.assert_allclose(
+        np.asarray(r_single.unmixing), np.asarray(r_mesh.unmixing), atol=1e-5
+    )
+
+
 def test_non_divisible_samples_rejected(eight_device_mesh):
     """A clear error (not an obscure device_put failure) for odd T."""
     from picard_ica_tpu import PicardConfig
