@@ -395,8 +395,21 @@ def data_fused_step(m_new, m_old, x, opts: CoreOptions, need_h: bool, need_ysq: 
     # delta matrix and evaluates the loss change analytically from
     # (y_old, dy), so the error is relative to |dy| instead of |ll|;
     # plain mode (cheap tiers) evaluates absolute row means.
+    #
+    # The N x N x T matmuls run at the stage's MXU tier (the same
+    # _kernel_dot scheme the Pallas kernels use — 1/3/6 MXU passes for
+    # bf16/bf16x3/f32, HIGHEST at f64): at N > the Pallas crossover
+    # this path is MXU-rotation-bound (gemm-only roofline 54% of bf16
+    # MXU peak at 256x2M, docs/BENCHMARKS.md), so the cheap tiers buy
+    # throughput exactly where the fused kernels bow out. Row means
+    # (N x T matvecs, negligible FLOPs) stay HIGHEST.
+    from ..ops.precision import matmul_tiered
+
+    def tdot(a, b):
+        return matmul_tiered(a, b, dtype, opts.kernel_precision)
+
     if opts.plain_ls:
-        y_new = _dot(m_new, x)
+        y_new = tdot(m_new, x)
         psi, psi_d, ll_el = opts.density.score_der_loglik(y_new)
         dll = _row_mean(ll_el)
         dysq = (
@@ -404,8 +417,8 @@ def data_fused_step(m_new, m_old, x, opts: CoreOptions, need_h: bool, need_ysq: 
             else jnp.zeros((n,), dtype)
         )
     else:
-        y_old = _dot(m_old, x)
-        dy = _dot(m_new - m_old, x)
+        y_old = tdot(m_old, x)
+        dy = tdot(m_new - m_old, x)
         y_new = y_old + dy
         psi, psi_d, dll_el = opts.density.score_der_loglik_delta(y_old, dy)
         dll = _row_mean(dll_el)
@@ -413,11 +426,11 @@ def data_fused_step(m_new, m_old, x, opts: CoreOptions, need_h: bool, need_ysq: 
             _row_mean((2.0 * y_old + dy) * dy) if need_ysq
             else jnp.zeros((n,), dtype)
         )
-    g = _dot(psi, y_new.T) * inv_t
+    g = tdot(psi, y_new.T) * inv_t
     pm = _row_mean(psi_d)
     if need_h:
         ysq_new = y_new * y_new
-        h = _dot(psi_d, ysq_new.T) * inv_t
+        h = tdot(psi_d, ysq_new.T) * inv_t
     else:
         h = jnp.zeros((n, n), dtype)
     ysq_new_mean = (
@@ -1040,24 +1053,32 @@ def init_state(x, covariance, opts: CoreOptions, x_stage=None):
     return state, initial_singular
 
 
-def _precision_stages(opts: CoreOptions):
+def _precision_stages(opts: CoreOptions, dtype=jnp.float32):
     """Staged MXU-precision schedule for ``kernel_precision="auto"``.
 
     Each tier runs until the gradient norm clears a safe multiple of
-    its measured noise floor (see ops/pallas_kernels._kernel_dot), then
+    its measured noise floor (see ops/precision._kernel_dot), then
     hands the carry to the next tier: 1-pass bf16 (3x the speed of
     HIGHEST, floor ~2.6e-4) -> split-bf16 3-pass (~2x, floor ~2e-7)
     -> exact-f32 6-pass down to tol. The Jacobian of the handoff is
     trivial — W, the L-BFGS ring and the loss are precision-agnostic
     carry state; only the moments are re-measured at each boundary.
-    On f64 (CPU conformance) every tier lowers to the same HIGHEST
-    dots, so the trajectory is identical to a single "f32" stage.
+
+    The schedule applies to BOTH compute paths: the Pallas kernels
+    take the tier as a kernel argument, the XLA path runs its data
+    matmuls through the same _kernel_dot tiers (data_fused_step) — so
+    the large-N regime the solver auto-routes to XLA (N > 256, MXU-
+    rotation-bound) gets the same cheap-tier economics as the fused
+    kernels. On the f64 XLA path (the CPU conformance surface) every
+    tier would lower to the same HIGHEST dots, so "auto" resolves to
+    the single-stage schedule the oracle lockstep was measured
+    against; the f64 PALLAS path keeps the staged schedule — its
+    stage-boundary no-op invariance is itself under test
+    (tests/test_pallas.py::test_auto_precision_stages_identical_at_f64).
     """
     if opts.kernel_precision != "auto":
         return [(opts.kernel_precision, None)]
-    if not opts.use_pallas:
-        # The XLA path always runs HIGHEST; staging would only add
-        # boundary re-measures.
+    if not opts.use_pallas and dtype == jnp.float64:
         return [("f32", None)]
     # Extended mode note: the bf16 tier's moment noise (~1e-4) is the
     # same scale as the sub/super sign margins k_i on mixed-kurtosis
@@ -1086,7 +1107,7 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
     if opts.data_sharding is not None:
         x = lax.with_sharding_constraint(x, opts.data_sharding)
 
-    stages = _precision_stages(opts)
+    stages = _precision_stages(opts, x.dtype)
     need_h = not opts.ortho
     need_ysq = opts.extended and not opts.ortho
 

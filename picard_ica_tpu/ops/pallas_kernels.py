@@ -61,75 +61,17 @@ from .densities import Density
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _dot_bf16x3(a, b, dims, acc):
-    """3-pass bf16 dot_general (the bf16_6x/HIGHEST scheme minus the
-    negligible lo x lo term — XLA's ``Precision.HIGH``, which Mosaic
-    does not support natively).
-
-    Splits each f32 operand into hi + lo bf16 halves (~16 mantissa
-    bits) and runs three MXU passes with f32 accumulation; the dropped
-    lo*lo term is O(2^-32) relative. Falls through to a plain HIGHEST
-    dot for f64 (CPU conformance runs), where bf16 splitting would
-    LOSE precision.
-
-    This is the middle tier of the default "auto" staged schedule
-    (models/core._precision_stages). Measured gradient-norm floor with
-    the analytic line-search delta: ~1.5e-7 (tanh/exp; ~1.4e-6 for
-    cube) — an early measurement of ~3e-6 predated the delta form,
-    whose cancellation, not this dot, was the limiter.
-    """
-    if acc == jnp.float64:
-        return jax.lax.dot_general(a, b, dims, preferred_element_type=acc,
-                                   precision=_HI)
-    return _dot_bf16x3_presplit(_split_bf16(a), _split_bf16(b), dims, acc)
-
-
-def _split_bf16(v):
-    """(hi, lo) bf16 halves of an f32 operand: hi = bf16(v),
-    lo = bf16(v - f32(hi)) — together ~16 mantissa bits."""
-    hi = v.astype(jnp.bfloat16)
-    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
-
-
-def _dot_bf16x3_presplit(a_pair, b_pair, dims, acc):
-    """The three bf16 MXU passes on already-split operands. Separated
-    from :func:`_dot_bf16x3` so a kernel that feeds the SAME operand to
-    several dots (the delta kernel's X tile enters both rotation dots)
-    can split it once — the split is VPU work inside a VPU-bound
-    kernel, and Mosaic is not guaranteed to CSE the duplicate."""
-    a_hi, a_lo = a_pair
-    b_hi, b_lo = b_pair
-
-    def d(p, q):
-        return jax.lax.dot_general(p, q, dims, preferred_element_type=jnp.float32)
-
-    return (d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)).astype(acc)
-
-
-def _kernel_dot(a, b, dims, acc, precision: str):
-    """In-kernel dot at the requested MXU precision.
-
-    Measured device time at the hot shapes (N=64, bt=4096, 244 tiles,
-    rotate + contraction): "f32" (HIGHEST, 6-pass) 1.03 ms, "bf16x3"
-    0.54 ms, "bf16" (1-pass, at the HBM floor) 0.34 ms. Gradient-norm
-    floors (with the analytic line-search delta): f32 < 1e-8,
-    bf16x3 ~1.5e-7, bf16 ~1.2e-4 — the staged
-    schedule in models/core.py uses each tier down to a safe multiple
-    of its floor. All tiers fall through to HIGHEST at f64 (CPU
-    conformance), where bf16 splitting would LOSE precision.
-    """
-    if acc != jnp.float64:
-        if precision == "bf16x3":
-            return _dot_bf16x3(a, b, dims, acc)
-        if precision == "bf16":
-            return jax.lax.dot_general(
-                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dims,
-                preferred_element_type=jnp.float32,
-            ).astype(acc)
-    return jax.lax.dot_general(a, b, dims, preferred_element_type=acc,
-                               precision=_HI)
-
+# The MXU precision-tier primitives (_split_bf16, _dot_bf16x3,
+# _dot_bf16x3_presplit, _kernel_dot) live in ops/precision.py — one
+# definition shared with the XLA data path so both compute paths'
+# staged-precision semantics stay identical. Re-exported here because
+# every kernel body below uses them.
+from .precision import (  # noqa: F401  (re-exported)
+    _dot_bf16x3,
+    _dot_bf16x3_presplit,
+    _kernel_dot,
+    _split_bf16,
+)
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # of the 16MB scoped-VMEM limit
 # Peak live (N, bt) f32 buffers (x tile double-buffered by the

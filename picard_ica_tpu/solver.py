@@ -339,7 +339,9 @@ class Picard:
 
         from .models.core import _precision_stages
 
-        stage_precisions = tuple(p for p, _ in _precision_stages(opts))
+        stage_precisions = tuple(
+            p for p, _ in _precision_stages(opts, jnp.dtype(dtype))
+        )
         stage_exits = tuple(int(v) for v in np.asarray(core.stage_exits))
         stage_ls_calls = tuple(int(v) for v in np.asarray(core.stage_ls_calls))
         ls_calls = int(core.ls_calls)
