@@ -65,6 +65,10 @@ failure paths in a subprocess; all default off):
                              executables never pollute the committed
                              TPU cache
   PICARD_BENCH_N/T/SEED_T/REPS   shrink the config to toy scale
+  PICARD_BENCH_SEED          datagen stream seed (default 42) — used
+                             by the committed headline-spread record
+                             (benchmarks/bench_r5_records.md) to show
+                             the number is not stream-trajectory luck
 """
 
 from __future__ import annotations
@@ -303,9 +307,11 @@ def _measure_config(n: int, t: int, reps: int, tag: str = "") -> tuple:
     from picard_ica_tpu.ops.whitening import center_whiten
     from picard_ica_tpu.utils.datagen import generate_bench_data_device
 
+    seed = int(os.environ.get("PICARD_BENCH_SEED", "42"))
     t0 = time.time()
-    _log(f"{tag}datagen: generating {n}x{t} Laplace mixture on device")
-    x = generate_bench_data_device(n, t, seed=42)
+    _log(f"{tag}datagen: generating {n}x{t} Laplace mixture on device "
+         f"(seed {seed})")
+    x = generate_bench_data_device(n, t, seed=seed)
     np.asarray(x[:1, :1])  # real sync (block_until_ready lies here)
     _log(f"{tag}datagen: done in {time.time() - t0:.1f}s")
     t0 = time.time()

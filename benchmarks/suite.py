@@ -441,6 +441,18 @@ def group_baseline_configs(records, reps, quick):
     print(f"baseline 3 (64x500k ext, cube): {r['samples_per_s']:.3e} samples/s "
           f"({r['iters']} iters, gnorm {r['gradient_norm']:.1e})",
           file=sys.stderr)
+    # Exp at the same scale, so all three densities carry a committed
+    # throughput number (VERDICT r4 #8; exp conformance at 32x100k is
+    # in the oracle group — this is the perf side, density.rs:72-103).
+    from picard_ica_tpu.ops.densities import Exp
+
+    exp_kw = dict(core_kw, density=Exp())
+    r = _core_throughput(x, n, tol, 200, exp_kw, reps)
+    records.append({"group": "baseline_3_extended_mixed", "n": n, "t": t,
+                    "density": "exp", **r})
+    print(f"baseline 3 (64x500k ext, exp): {r['samples_per_s']:.3e} samples/s "
+          f"({r['iters']} iters, gnorm {r['gradient_norm']:.1e})",
+          file=sys.stderr)
 
     # Config 4: JADE(50) warm start -> Picard, 128 x 1M. f64 input so
     # the facade's host-f64 preprocessing runs (reference-parity

@@ -1094,6 +1094,20 @@ def _precision_stages(opts: CoreOptions, dtype=jnp.float32):
     # noise floors are properties of the density's moment dynamic
     # range (cube floors ~10x above tanh's — measured values on the
     # density classes, ops/densities.py).
+    #
+    # They are deliberately NOT N-scaled, although the floors rise
+    # ~sqrt(N) (chip-measured at T=1M: bf16 1.2e-4 at N=64 ->
+    # 2.28e-4 at N=384; bf16x3 1.5e-7 -> 3.28e-7 —
+    # benchmarks/xla_staged_r5.json). At N=384 the whole descent
+    # lives in gnorm [5e-4, 1e-8]: a sqrt(N)-scaled bf16 handoff
+    # (7.3e-4) sits ABOVE the initial gradient and self-skips the
+    # tier — yet the unscaled tier measurably substitutes for 32
+    # accurate-tier iterations there (fit A/B: 1.19x staged vs
+    # single-stage with the unscaled handoff, 0.57x with the scaled
+    # one). The max-abs gnorm is a lagging, noise-floored indicator;
+    # a tier stays productive while grinding NEAR its floor, and the
+    # stall logic in _iteration_body — not the handoff arithmetic —
+    # is what should end it.
     d = opts.density
     return [
         ("bf16", getattr(d, "bf16_handoff", 3e-4)),
@@ -1216,12 +1230,35 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
                 # trajectory stays bit-identical to a single-stage run
                 # — asserted by tests/test_pallas.py); only when tiers
                 # genuinely differ is the cross-tier history poison.
+                #
+                # The clear is CONDITIONAL on how contaminated the ring
+                # actually is: its pairs carry y_diff noise at the OLD
+                # tier's gradient floor (~handoff/2.5 by calibration).
+                # A floor exit (the common case: gnorm ~ the handoff at
+                # the boundary) means ~40% noise — clear. But a stall
+                # exit can hand off well ABOVE the old floor (measured
+                # at N=384: a bf16x3 -> f32 handoff at gnorm 1.2e-5
+                # with floor 3.3e-7 — 3% noise in the pairs — where the
+                # cleared ring forced 13 cold f32 iterations at 3.5
+                # line-search calls each to re-converge from an almost-
+                # converged state). Keep the memory when the entering
+                # gnorm clears 4x the old handoff (= ~10x the floor).
+                prev_handoff = stages[idx - 1][1]
+                if prev_handoff is None:
+                    keep = jnp.asarray(False)
+                else:
+                    keep = state.gradient_norm >= jnp.asarray(
+                        4.0 * prev_handoff, x.dtype)
                 state = state._replace(
                     memory=state.memory._replace(
-                        count=jnp.zeros_like(state.memory.count)
+                        count=jnp.where(
+                            keep, state.memory.count,
+                            jnp.zeros_like(state.memory.count)),
                     ),
-                    g_old=jnp.zeros_like(state.g_old),
-                    prev_step=jnp.zeros_like(state.prev_step),
+                    g_old=jnp.where(keep, state.g_old,
+                                    jnp.zeros_like(state.g_old)),
+                    prev_step=jnp.where(keep, state.prev_step,
+                                        jnp.zeros_like(state.prev_step)),
                 )
 
         # Same-copy invariant: the initial baseline (init_state) and

@@ -102,8 +102,28 @@ def _kernel_dot(a, b, dims, acc, precision: str):
 
 def matmul_tiered(a, b, acc, precision: str):
     """2-D ``a @ b`` at the requested tier — the XLA data path's hot
-    dot (models/core.data_fused_step). On TPU the tiers lower to 1/3/6
-    MXU passes; XLA fuses the bf16 casts / hi-lo splits into the
-    operand reads and CSEs a shared split (e.g. X feeding both rotation
-    dots), so no presplit plumbing is needed outside Pallas."""
+    dot (models/core.data_fused_step).
+
+    The bf16x3 tier maps to XLA's native ``Precision.HIGH`` here
+    instead of the manual hi/lo split: outside Pallas the split
+    MATERIALIZES two bf16 copies of each (N, T) operand in HBM, and
+    the measured cost inverts the tier ladder (N=384 x 1M delta:
+    manual split 51.0 ms/call vs HIGHEST's 33.7 — the extra ~3 GB of
+    split traffic swamps the 3-vs-6-pass MXU saving; chip rows in
+    benchmarks/xla_staged_r5.json). ``Precision.HIGH`` is the same
+    3-pass hi/lo arithmetic executed inside the MXU pipeline with no
+    materialization (19.9 ms/call — 1.7x vs HIGHEST). Inside Pallas
+    kernels the manual `_dot_bf16x3` stays: Mosaic does not support
+    ``Precision.HIGH``, and there the split is VPU work on a VMEM
+    tile, not HBM traffic. On CPU backends ``HIGH`` computes exact
+    f32 — the XLA mid tier is cleaner there than on chip, which only
+    strengthens the handoff (trajectory-level conformance is pinned
+    by the f64 single-stage path, not by cross-backend tier ULPs).
+
+    The bf16 tier keeps the explicit cast (same numerics everywhere;
+    XLA fuses the converts into the dot's operand reads — measured at
+    the HBM-side cost of a plain dot, no copy blowup)."""
+    if acc != jnp.float64 and precision == "bf16x3":
+        return jax.lax.dot_general(a, b, _MM_DIMS, preferred_element_type=acc,
+                                   precision=jax.lax.Precision.HIGH)
     return _kernel_dot(a, b, _MM_DIMS, acc, precision)
