@@ -940,8 +940,18 @@ def _iteration_body(st: CoreState, x, covariance, tol, lambda_min, opts: CoreOpt
         # A failed line search near the floor IS the floor signal —
         # exit at once (capped fallback keeps the failing iteration
         # cheap). Far from the floor a single failure can be a genuine
-        # deep backtrack; only repeated failure exits there.
-        converged = converged | ((st.consec_fallbacks >= 1) & near_floor)
+        # deep backtrack; only repeated failure exits there. The
+        # single-failure gate is TIGHT (3x the handoff, ~7x the
+        # floor), not the plateau gate's 20x: an early-descent
+        # fallback at gnorm ~5e-3 is a backtrack, not a floor signal,
+        # and exiting on it forfeits the whole cheap tier (measured,
+        # seed-43 stream at N=64: a lone iteration-3 fallback under
+        # the 20x gate exited bf16 at stage_exits=[3,..] and the fit
+        # ran 30 bf16x3 iterations the bf16 tier should have eaten —
+        # 2.3e8 vs seed-42's 6.5e8 samples/s).
+        converged = converged | (
+            (st.consec_fallbacks >= 1) & (gradient_norm < 3.0 * tol)
+        )
         converged = converged | (st.consec_fallbacks >= 2)
     else:
         best_gnorm = st.best_gnorm
@@ -1242,13 +1252,19 @@ def run_core(x, covariance, tol, lambda_min, max_iter, opts: CoreOptions) -> Cor
                 # cleared ring forced 13 cold f32 iterations at 3.5
                 # line-search calls each to re-converge from an almost-
                 # converged state). Keep the memory when the entering
-                # gnorm clears 4x the old handoff (= ~10x the floor).
+                # gnorm clears 10x the old handoff (= ~25x the floor,
+                # ~4% pair noise). A 4x threshold was measured to
+                # poison the next tier on early-fallback streams: a
+                # bf16 exit at gnorm ~2e-3 (seed-43 stream, N=64) kept
+                # pairs carrying ~10% floor noise and the bf16x3 tier
+                # ground 84 line-search calls over 30 iterations on
+                # the contaminated directions.
                 prev_handoff = stages[idx - 1][1]
                 if prev_handoff is None:
                     keep = jnp.asarray(False)
                 else:
                     keep = state.gradient_norm >= jnp.asarray(
-                        4.0 * prev_handoff, x.dtype)
+                        10.0 * prev_handoff, x.dtype)
                 state = state._replace(
                     memory=state.memory._replace(
                         count=jnp.where(
