@@ -490,6 +490,15 @@ def group_baseline_configs(records, reps, quick):
     print(f"baseline 4 (JADE->{n}x{t}): {secs:.2f} s amari={amari:.2e} "
           f"oracle_floor={rec.get('amari_oracle_vs_truth', float('nan')):.2e}",
           file=sys.stderr)
+    # Release config 4's device buffers (PicardResult holds the
+    # 128x1M sources, ~0.5 GB) before config 5's 12.3 GB datagen+
+    # whiten peak: a round-5 run with them still referenced OOM'd
+    # every max-T rung AND the eeg row's 2 GB transfer — the arena
+    # needs every byte and an un-collected cycle can pin buffers.
+    import gc
+
+    del res
+    gc.collect()
 
     # Config 5 at single-chip max T. Full scale is 256 x 10M across a
     # multi-host mesh (T shards linearly, one ~17 KB psum per pass);
@@ -504,61 +513,48 @@ def group_baseline_configs(records, reps, quick):
     # consumes its input, so the timed run regenerates the
     # (deterministic, seeded) mixture after the compile/warmup run.
     if on_tpu and not quick:
-        import jax.numpy as jnp
-
-        from picard_ica_tpu.models.core import CoreOptions, run_core_jit_donated
-        from picard_ica_tpu.ops.whitening import center_whiten
-        from picard_ica_tpu.utils.datagen import generate_bench_data_device
+        import subprocess
 
         n = 256
+
+        # Each rung runs in a FRESH subprocess (benchmarks/maxt_row.py):
+        # the row measures what one chip can HOLD, which needs an
+        # unfragmented arena and a clean donation state. Round-5
+        # measurement: after an in-process 6M rung OOM'd mid-donated-
+        # execution, 4M (which fits fresh with ~4 GB of headroom) and
+        # even a plain 2 GB transfer OOM'd too — gc.collect() does not
+        # recover the arena, the leak is on the PJRT server side. Only
+        # an OOM (rc=3) steps the ladder down; any other failure is a
+        # real bug and fails the group.
+        class _ShimRes:
+            def __init__(self, stage_ls_calls):
+                self.stage_ls_calls = stage_ls_calls
+
+        from picard_ica_tpu.models.core import CoreOptions
+
         opts = CoreOptions(**dict(core_kw, donate_data=True))
-        cov = jnp.eye(n, dtype=jnp.float32)
-
-        def _whitened(t):
-            x_dev = generate_bench_data_device(n, t)
-            xw, _, _ = center_whiten(x_dev, n)
-            jax.block_until_ready(xw)
-            return xw  # the 6.1 GB mixture frees on return
-
-        # T ladder: 6M is the fresh-process ceiling, but a suite run
-        # arrives here with a session-fragmented arena — fall back
-        # rather than fail the row (the record notes the T that fit).
-        # Only resource exhaustion steps down; a deterministic bug in
-        # the pipeline must surface, not silently shrink the row.
-        def _is_oom(e: Exception) -> bool:
-            msg = f"{type(e).__name__}: {e}".lower()
-            return any(tok in msg for tok in (
-                "resource_exhausted", "out of memory", "oom",
-                "allocat", "hbm"))
-
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         r = None
         ladder = (6_000_000, 5_000_000, 4_000_000)
         for t in ladder:
-            try:
-                res = run_core_jit_donated(_whitened(t), cov, tol, 0.01, 60, opts)
-                jax.block_until_ready(res)  # compile+warm (consumes input)
-                xw = _whitened(t)
-                t0 = time.perf_counter()
-                res = run_core_jit_donated(xw, cov, tol, 0.01, 60, opts)
-                jax.block_until_ready(res)
-                wall = time.perf_counter() - t0
-                del xw
-            except Exception as e:
-                if not _is_oom(e):
-                    raise
-                print(f"baseline 5 max-T: 256x{t} did not fit in-process "
-                      f"({type(e).__name__}); stepping down", file=sys.stderr)
+            proc = subprocess.run(
+                [sys.executable, "-m", "benchmarks.maxt_row",
+                 str(n), str(t), "60"],
+                capture_output=True, text=True, timeout=1500, cwd=repo,
+            )
+            sys.stderr.write(proc.stderr[-2000:])
+            if proc.returncode == 3:
+                print(f"baseline 5 max-T: 256x{t} did not fit "
+                      f"(fresh process); stepping down", file=sys.stderr)
                 continue
-            iters = int(res.n_iterations)
-            r = {
-                "samples_per_s": t * iters / wall, "iters": iters,
-                "converged": bool(res.converged),
-                "gradient_norm": float(res.gradient_norm), "wall_s": wall,
-            }
-            _roofline_fracs(r, res, opts, n, t)
-            del res
-            records.append({"group": "baseline_5_max_t_single_chip", "n": n,
-                            "t": t, **r})
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"maxt_row 256x{t} failed rc={proc.returncode}: "
+                    f"{proc.stderr[-500:]}")
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            _roofline_fracs(
+                r, _ShimRes(r.pop("stage_ls_calls", None)), opts, n, t)
+            records.append({"group": "baseline_5_max_t_single_chip", **r})
             print(f"baseline 5 max-T ({n}x{t} ext+ortho): "
                   f"{r['samples_per_s']:.3e} samples/s ({r['iters']} iters)",
                   file=sys.stderr)
@@ -580,6 +576,10 @@ def group_baseline_configs(records, reps, quick):
     # an un-fragmented arena — sequenced after this row's buffers it
     # OOM'd on the same chip that runs it clean in a fresh process.
     n, t = (128, 500_000) if quick else (256, 2_000_000)
+    if not quick:
+        import gc
+
+        gc.collect()  # same arena-pressure rationale as the max-T row
     r = _core_throughput(_bench_data(n, t), n, tol, 60, core_kw, reps=1)
     records.append({"group": "baseline_5_eeg_scale", "n": n, "t": t, **r})
     print(f"baseline 5 ({n}x{t} ext+ortho): {r['samples_per_s']:.3e} samples/s "
