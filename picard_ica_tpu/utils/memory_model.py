@@ -31,7 +31,11 @@ fresh process; 256x7M (14.34e9) does not ("past the arena's
 comfort", benchmarks/suite.py). EFFECTIVE_ARENA_BYTES sits mid-
 bracket; the bracket itself — not the midpoint — is the measured
 fact, and :func:`max_t` reproduces the 6M-fits/7M-OOMs boundary for
-any value inside it.
+any value inside it. Round 5 confirmed the model's 6M prediction END
+TO END: the full datagen->whiten->fit pipeline at 256x6M runs in a
+fresh process (4.94e7 samples/s, benchmarks/maxt_row.py — the
+committed suite row was previously 4M only because the in-process
+ladder ran on a fragmented arena).
 """
 
 from __future__ import annotations
