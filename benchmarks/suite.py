@@ -346,6 +346,68 @@ def _core_throughput(x_np, n, tol, max_iter, opts_kw, reps,
     return rec
 
 
+def _maxt_ladder(records, core_kw, ladder=(6_000_000, 5_000_000, 4_000_000)):
+    """baseline_5 max-T capability ladder, one fresh subprocess per
+    rung (see benchmarks/maxt_row.py for why isolation is load-
+    bearing). Factored out so the OOM step-down / failure-record
+    semantics are unit-testable with a mocked subprocess.
+    """
+    import subprocess
+
+    n = 256
+
+    # Each rung runs in a FRESH subprocess (benchmarks/maxt_row.py):
+    # the row measures what one chip can HOLD, which needs an
+    # unfragmented arena and a clean donation state. Round-5
+    # measurement: after an in-process 6M rung OOM'd mid-donated-
+    # execution, 4M (which fits fresh with ~4 GB of headroom) and
+    # even a plain 2 GB transfer OOM'd too — gc.collect() does not
+    # recover the arena, the leak is on the PJRT server side. Only
+    # an OOM (rc=3) steps the ladder down; any other failure is a
+    # real bug and fails the group.
+    class _ShimRes:
+        def __init__(self, stage_ls_calls):
+            self.stage_ls_calls = stage_ls_calls
+
+    from picard_ica_tpu.models.core import CoreOptions
+
+    opts = CoreOptions(**dict(core_kw, donate_data=True))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = None
+    for t in ladder:
+        proc = subprocess.run(
+            [sys.executable, "-m", "benchmarks.maxt_row",
+             str(n), str(t), "60"],
+            capture_output=True, text=True, timeout=1500, cwd=repo,
+        )
+        sys.stderr.write(proc.stderr[-2000:])
+        if proc.returncode == 3:
+            print(f"baseline 5 max-T: 256x{t} did not fit "
+                  f"(fresh process); stepping down", file=sys.stderr)
+            continue
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"maxt_row 256x{t} failed rc={proc.returncode}: "
+                f"{proc.stderr[-500:]}")
+        r = json.loads(proc.stdout.strip().splitlines()[-1])
+        _roofline_fracs(
+            r, _ShimRes(r.pop("stage_ls_calls", None)), opts, n, t)
+        records.append({"group": "baseline_5_max_t_single_chip", **r})
+        print(f"baseline 5 max-T ({n}x{t} ext+ortho): "
+              f"{r['samples_per_s']:.3e} samples/s ({r['iters']} iters)",
+              file=sys.stderr)
+        break
+    if r is None:
+        # Every rung OOM'd: leave an explicit failed record so the
+        # regression is visible in the JSON instead of a silently
+        # missing row (ADVICE r4).
+        records.append({"group": "baseline_5_max_t_single_chip", "n": n,
+                        "failed": True,
+                        "reason": f"all T rungs OOM'd: {list(ladder)}"})
+        print("baseline 5 max-T: every T rung OOM'd; recorded as failed",
+              file=sys.stderr)
+
+
 def group_baseline_configs(records, reps, quick):
     """The five BASELINE.json configs."""
     import jax
@@ -513,61 +575,7 @@ def group_baseline_configs(records, reps, quick):
     # consumes its input, so the timed run regenerates the
     # (deterministic, seeded) mixture after the compile/warmup run.
     if on_tpu and not quick:
-        import subprocess
-
-        n = 256
-
-        # Each rung runs in a FRESH subprocess (benchmarks/maxt_row.py):
-        # the row measures what one chip can HOLD, which needs an
-        # unfragmented arena and a clean donation state. Round-5
-        # measurement: after an in-process 6M rung OOM'd mid-donated-
-        # execution, 4M (which fits fresh with ~4 GB of headroom) and
-        # even a plain 2 GB transfer OOM'd too — gc.collect() does not
-        # recover the arena, the leak is on the PJRT server side. Only
-        # an OOM (rc=3) steps the ladder down; any other failure is a
-        # real bug and fails the group.
-        class _ShimRes:
-            def __init__(self, stage_ls_calls):
-                self.stage_ls_calls = stage_ls_calls
-
-        from picard_ica_tpu.models.core import CoreOptions
-
-        opts = CoreOptions(**dict(core_kw, donate_data=True))
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        r = None
-        ladder = (6_000_000, 5_000_000, 4_000_000)
-        for t in ladder:
-            proc = subprocess.run(
-                [sys.executable, "-m", "benchmarks.maxt_row",
-                 str(n), str(t), "60"],
-                capture_output=True, text=True, timeout=1500, cwd=repo,
-            )
-            sys.stderr.write(proc.stderr[-2000:])
-            if proc.returncode == 3:
-                print(f"baseline 5 max-T: 256x{t} did not fit "
-                      f"(fresh process); stepping down", file=sys.stderr)
-                continue
-            if proc.returncode != 0:
-                raise RuntimeError(
-                    f"maxt_row 256x{t} failed rc={proc.returncode}: "
-                    f"{proc.stderr[-500:]}")
-            r = json.loads(proc.stdout.strip().splitlines()[-1])
-            _roofline_fracs(
-                r, _ShimRes(r.pop("stage_ls_calls", None)), opts, n, t)
-            records.append({"group": "baseline_5_max_t_single_chip", **r})
-            print(f"baseline 5 max-T ({n}x{t} ext+ortho): "
-                  f"{r['samples_per_s']:.3e} samples/s ({r['iters']} iters)",
-                  file=sys.stderr)
-            break
-        if r is None:
-            # Every rung OOM'd: leave an explicit failed record so the
-            # regression is visible in the JSON instead of a silently
-            # missing row (ADVICE r4).
-            records.append({"group": "baseline_5_max_t_single_chip", "n": n,
-                            "failed": True,
-                            "reason": f"all T rungs OOM'd: {list(ladder)}"})
-            print("baseline 5 max-T: every T rung OOM'd; recorded as failed",
-                  file=sys.stderr)
+        _maxt_ladder(records, core_kw)
 
     # Config 5: EEG/MEG-scale 256 x T, extended+ortho. T picked for
     # single-chip HBM (f32 X at 256 x 10M = 10.2 GB; we run 2M/chip

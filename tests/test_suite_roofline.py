@@ -144,3 +144,72 @@ def test_parse_cold_phases_fallback_retry(suite):
     past cold_check."""
     ends = suite._parse_cold_phases(_FALLBACK_STDERR)
     assert ends["core"] == pytest.approx(190.4)
+
+
+# ---------------------------------------------------------------------------
+# The max-T capability ladder (suite._maxt_ladder): OOM rungs step down,
+# a success stops the ladder, a real bug surfaces, all-OOM leaves an
+# explicit failed record (VERDICT r4 / ADVICE r4 semantics).
+# ---------------------------------------------------------------------------
+
+
+class _Proc:
+    def __init__(self, returncode, stdout="", stderr=""):
+        self.returncode = returncode
+        self.stdout = stdout
+        self.stderr = stderr
+
+
+def _core_kw():
+    from picard_ica_tpu.ops.densities import Tanh
+
+    return dict(density=Tanh(), ortho=True, extended=True, has_cov=True,
+                m=7, ls_tries=10, use_pallas=True, kernel_precision="auto")
+
+
+def _run_ladder(suite, monkeypatch, procs):
+    import subprocess
+
+    calls = []
+
+    def fake_run(cmd, **kw):
+        calls.append(int(cmd[-2]))  # the T argument
+        return procs[len(calls) - 1]
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    records = []
+    suite._maxt_ladder(records, _core_kw())
+    return records, calls
+
+
+def test_maxt_ladder_steps_down_on_oom_and_stops_on_success(suite, monkeypatch):
+    import json as _json
+
+    ok = _json.dumps({"n": 256, "t": 5_000_000, "samples_per_s": 5e7,
+                      "iters": 50, "converged": True, "gradient_norm": 1e-8,
+                      "wall_s": 5.0, "stage_ls_calls": [50, 80, 100]})
+    records, calls = _run_ladder(
+        suite, monkeypatch, [_Proc(3), _Proc(0, stdout=ok), _Proc(0)])
+    assert calls == [6_000_000, 5_000_000]  # stopped after the success
+    assert len(records) == 1
+    rec = records[0]
+    assert rec["group"] == "baseline_5_max_t_single_chip"
+    assert rec["t"] == 5_000_000 and rec["iters"] == 50
+    # the roofline shim consumed stage_ls_calls into MFU columns
+    assert "stage_ls_calls" not in rec
+    assert "mxu_frac_of_bf16_peak" in rec
+
+
+def test_maxt_ladder_all_oom_leaves_failed_record(suite, monkeypatch):
+    records, calls = _run_ladder(
+        suite, monkeypatch, [_Proc(3), _Proc(3), _Proc(3)])
+    assert calls == [6_000_000, 5_000_000, 4_000_000]
+    assert len(records) == 1
+    assert records[0]["failed"] is True
+    assert "OOM" in records[0]["reason"]
+
+
+def test_maxt_ladder_real_bug_surfaces(suite, monkeypatch):
+    with pytest.raises(RuntimeError, match="maxt_row 256x6000000"):
+        _run_ladder(suite, monkeypatch,
+                    [_Proc(1, stderr="Traceback ... ValueError")])
